@@ -1,0 +1,552 @@
+"""Query registry: Spark implementation + DuckDB oracle SQL per operator.
+
+Each entry re-expresses one operator from SURVEY.md §2 over the driver
+testdata tables (region nation customer supplier part orders lineitem events
+documents embeddings). The Spark side uses the engine's operators
+(arhivum_spark.operators.*); the oracle is equivalent ANSI SQL for DuckDB.
+Column names and rounding are aligned on both sides because the driver
+hash-compares values.
+
+The testdata has no planted hash collisions, so dedup-semantics queries
+derive a collision-prone surrogate content hash (md5 of a bucketed key) —
+the operator under test is the grouping/window/join shape, not the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arhivum_spark.operators import dedup_exact, group_analytics, zones
+from arhivum_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# surrogate content hash over documents: ~50 planted collision groups
+def _doc_hash_spark():
+    return F.md5(
+        F.concat_ws("|", F.lit("h"), (F.col("n_chars") % 50).cast("string"))
+    )
+
+
+_DOC_HASH_SQL = "md5(concat_ws('|', 'h', CAST(n_chars % 50 AS VARCHAR)))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# A1 — group-by-hash duplicate grouping (CodeProjectController.java:104-119)
+def q_a1_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("sha256", _doc_hash_spark())
+    return (
+        dedup_exact.duplicate_groups(df, "sha256", "doc_id", size_col="n_chars")
+        .select(
+            F.col("sha256").alias("content_hash"),
+            F.col("n_files"),
+            F.col("kept_id"),
+            F.col("wasted_size"),
+        )
+    )
+
+
+SQL_A1 = f"""
+SELECT {_DOC_HASH_SQL} AS content_hash,
+       count(*) AS n_files,
+       min(doc_id) AS kept_id,
+       sum(n_chars) - min(n_chars) AS wasted_size
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+# W1 — first-wins duplicate flag as a deterministic ranking window
+# (OutputService.java:107-134 arrival-order semantics -> doc_id total order)
+def q_w1_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("sha256", _doc_hash_spark())
+    return dedup_exact.flag_duplicates(df, "sha256", "doc_id").select(
+        "doc_id", "is_duplicate", "representative_id"
+    )
+
+
+SQL_W1 = f"""
+WITH h AS (SELECT doc_id, {_DOC_HASH_SQL} AS sha256 FROM documents)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY sha256 ORDER BY doc_id) > 1 AS is_duplicate,
+       min(doc_id) OVER (PARTITION BY sha256) AS representative_id
+FROM h
+"""
+
+
+# J1 — hash-equality self-join: all duplicate pairs (ScannedFileRepository.java:66-95)
+def q_j1_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("sha256", _doc_hash_spark())
+    return dedup_exact.duplicate_pairs(df, "sha256", "doc_id").select(
+        F.col("h").alias("content_hash"), "id_a", "id_b"
+    )
+
+
+SQL_J1 = f"""
+WITH h AS (SELECT doc_id, {_DOC_HASH_SQL} AS sha256 FROM documents)
+SELECT a.sha256 AS content_hash, a.doc_id AS id_a, b.doc_id AS id_b
+FROM h a JOIN h b ON a.sha256 = b.sha256 AND a.doc_id < b.doc_id
+"""
+
+
+# J5/W2 — best-copy election by multi-key priority (docs/shared/DEDUPLICATION.md:44-55)
+def q_j5_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    best = dedup_exact.best_copy(
+        orders,
+        hash_col="o_custkey",
+        priority=[
+            F.col("o_orderdate").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        ],
+    )
+    return best.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("best_orderkey"),
+        F.round("o_totalprice", 2).alias("best_price"),
+    )
+
+
+SQL_J5 = """
+SELECT o_custkey AS custkey, o_orderkey AS best_orderkey,
+       round(o_totalprice, 2) AS best_price
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate ASC, o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk = 1
+"""
+
+
+# J7 — anti-join: rows whose hash is new vs a known set (EXIF-skip semantics,
+# ScanCommand.java:342-353)
+def q_j7_anti_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("sha256", _doc_hash_spark())
+    known = df.filter(F.col("source") == "src0")
+    return dedup_exact.anti_join_new_hashes(df, known, "sha256").select("doc_id")
+
+
+SQL_J7 = f"""
+WITH h AS (SELECT doc_id, source, {_DOC_HASH_SQL} AS sha256 FROM documents)
+SELECT doc_id FROM h
+WHERE sha256 NOT IN (SELECT sha256 FROM h WHERE source = 'src0')
+"""
+
+
+# A2 — group content hash = sha256 of sorted member hashes, no separator
+# (CodeProjectScannerService.java:221-254)
+def q_a2_group_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("sha256", F.md5(F.col("text")))
+    return group_analytics.group_content_hash(df, "source", "sha256").select(
+        F.col("source"), F.col("content_hash"), F.col("n_members")
+    )
+
+
+SQL_A2 = """
+SELECT source,
+       sha256(string_agg(md5(text), '' ORDER BY md5(text))) AS content_hash,
+       count(*) AS n_members
+FROM documents
+GROUP BY source
+"""
+
+
+# A3 — true Jaccard between groups' item sets (docs/shared/CODE_DETECTION.md:216-256)
+def q_a3_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("item"))
+        .filter(F.col("item") != "")
+    )
+    return group_analytics.jaccard_between_groups(toks, "source", "item").select(
+        "group_a", "group_b", "inter", "size_a", "size_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_A3 = """
+WITH gi AS (
+  SELECT DISTINCT source AS g, tok.item AS item
+  FROM documents, unnest(string_split(text, ' ')) AS tok(item)
+  WHERE tok.item <> ''
+), sizes AS (SELECT g, count(*) AS sz FROM gi GROUP BY g),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS inter
+  FROM gi a JOIN gi b ON a.item = b.item AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.g = group_a
+JOIN sizes sb ON sb.g = group_b
+"""
+
+
+# A5 — diff-complexity bucketing (CodeProjectDuplicateDetectionService.java:255-264)
+def q_a5_complexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").withColumn(
+        "diff_ratio", (F.col("p_size") % 33) / F.lit(100.0)
+    )
+    return (
+        part.withColumn("complexity", group_analytics.complexity_bucket("diff_ratio"))
+        .groupBy("complexity")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_A5 = """
+SELECT CASE WHEN (p_size % 33) / 100.0 < 0.05 THEN 'TRIVIAL'
+            WHEN (p_size % 33) / 100.0 < 0.15 THEN 'SIMPLE'
+            WHEN (p_size % 33) / 100.0 < 0.30 THEN 'MEDIUM'
+            ELSE 'COMPLEX' END AS complexity,
+       count(*) AS n
+FROM part GROUP BY 1
+"""
+
+
+# A7 — per-source running statistics (FileService.java:107-111)
+def q_a7_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_analytics.source_stats(
+        _docs(spark, sf_dir), "source", "n_chars"
+    ).select("source", "n_files", "total_size")
+
+
+SQL_A7 = """
+SELECT source, count(*) AS n_files, sum(n_chars) AS total_size
+FROM documents GROUP BY source
+"""
+
+
+# A8 — per-type rollup (CodeProjectController.java:167-193)
+def q_a8_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_A8 = """
+SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total_price
+FROM part GROUP BY p_brand
+"""
+
+
+# A9 — bottom-up path-hierarchy rollup (FolderTreeService.java:196-272)
+def q_a9_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "path",
+        F.concat_ws(
+            "/", F.lit("src"), F.col("source"), F.col("lang"),
+            F.concat(F.lit("doc-"), F.col("doc_id")),
+        ),
+    )
+    return group_analytics.path_tree_rollup(df, "path", "n_chars").select(
+        "folder", "file_count", "total_size"
+    )
+
+
+SQL_A9 = """
+SELECT 'src' AS folder, count(*) AS file_count, sum(n_chars) AS total_size
+FROM documents
+UNION ALL
+SELECT concat('src/', source), count(*), sum(n_chars) FROM documents GROUP BY source
+UNION ALL
+SELECT concat('src/', source, '/', lang), count(*), sum(n_chars)
+FROM documents GROUP BY source, lang
+"""
+
+
+# J4 — hierarchical zone inheritance via longest-prefix join
+# (FolderZoneService.java:43-64) + P6 dedup-eligibility gate
+_ZONE_ROWS = [
+    ("src/src0", "MEDIA"),
+    ("src/src1", "CODE"),
+    ("src/src2", "DOCUMENTS"),
+    ("src/src0/zh", "BACKUP"),
+]
+
+
+def q_j4_zone_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "path",
+        F.concat_ws(
+            "/", F.lit("src"), F.col("source"), F.col("lang"),
+            F.concat(F.lit("doc-"), F.col("doc_id")),
+        ),
+    )
+    zone_table = spark.createDataFrame(_ZONE_ROWS, ["folder_path", "zone"])
+    resolved = zones.resolve_zones(df, zone_table, "path")
+    return resolved.select("doc_id", "zone", "is_inherited")
+
+
+SQL_J4 = """
+WITH z(folder_path, zone) AS (VALUES
+  ('src/src0', 'MEDIA'), ('src/src1', 'CODE'),
+  ('src/src2', 'DOCUMENTS'), ('src/src0/zh', 'BACKUP')),
+p AS (
+  SELECT doc_id,
+         concat('src/', source) AS p2,
+         concat('src/', source, '/', lang) AS p3
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(z3.zone, z2.zone) AS zone,
+       (coalesce(z3.zone, z2.zone) IS NOT NULL) AS is_inherited
+FROM p
+LEFT JOIN z z3 ON z3.folder_path = p.p3
+LEFT JOIN z z2 ON z2.folder_path = p.p2
+"""
+
+
+# O6 — top-k duplicate groups by wasted size (docs/server/DATABASE.md:224)
+def q_o6_top_wasted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_a1_dup_groups(spark, sf_dir)
+        .orderBy(F.desc("wasted_size"), F.asc("content_hash"))
+        .limit(10)
+    )
+
+
+SQL_O6 = f"""
+SELECT * FROM ({SQL_A1})
+ORDER BY wasted_size DESC, content_hash ASC
+LIMIT 10
+"""
+
+
+# P2 — optional-predicate filtered query (ScannedFileRepository.java:162-168)
+def q_p2_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_P2 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+GROUP BY 1, 2
+"""
+
+
+# P3 — prefix predicate scoping (ScannedFileRepository.java:187-198)
+def q_p3_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_name").startswith("Customer#00000001"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+    )
+
+
+SQL_P3 = """
+SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+FROM customer
+WHERE c_name LIKE 'Customer#00000001%'
+GROUP BY 1
+"""
+
+
+# TPC-H-shaped relational coverage -----------------------------------------
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+# Sessionization — lag + gap cumsum (streaming analogue of keyed dedup state)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.withColumn("session_no", sess)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_no").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       max(sess_no) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM g
+)
+GROUP BY user_id
+"""
+
+
+# Tumbling-window aggregation (batch form of the streaming windowed agg)
+def q_evt_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+SQL_EVT_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "a1_dup_groups": (q_a1_dup_groups, SQL_A1),
+    "w1_first_wins_flag": (q_w1_first_wins, SQL_W1),
+    "j1_dup_pairs": (q_j1_dup_pairs, SQL_J1),
+    "j5_best_copy": (q_j5_best_copy, SQL_J5),
+    "j7_anti_new_hashes": (q_j7_anti_new, SQL_J7),
+    "a2_group_content_hash": (q_a2_group_content_hash, SQL_A2),
+    "a3_jaccard_sources": (q_a3_jaccard_sources, SQL_A3),
+    "a5_complexity_buckets": (q_a5_complexity_buckets, SQL_A5),
+    "a7_source_stats": (q_a7_source_stats, SQL_A7),
+    "a8_type_rollup": (q_a8_type_rollup, SQL_A8),
+    "a9_tree_rollup": (q_a9_tree_rollup, SQL_A9),
+    "j4_zone_inheritance": (q_j4_zone_inheritance, SQL_J4),
+    "o6_top_wasted": (q_o6_top_wasted, SQL_O6),
+    "p2_optional_filters": (q_p2_filtered, SQL_P2),
+    "p3_prefix_filter": (q_p3_prefix, SQL_P3),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3),
+    "tpch_q5_region_revenue": (q_tpch_q5ish, SQL_TPCH_Q5),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "evt_tumbling_window": (q_evt_tumbling, SQL_EVT_TUMBLING),
+}

@@ -1,0 +1,68 @@
+"""SparkSession builders tuned for this engine.
+
+Local mode is the test/bench harness; the configs are chosen so the same
+logical plans scale to a multi-executor cluster: AQE on (runtime skew-join
+and partition coalescing), shuffle partitions sized to parallelism, Arrow
+batches capped small where rows carry multi-MB binary image payloads
+(SURVEY.md §4 "Arrow batch sizing").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Rows carrying encoded image bytes can be multi-MB; keep Arrow batches small
+# so a pandas-UDF batch never balloons executor memory (the reference keeps a
+# <500 MB ceiling by streaming 8 KB buffers — archivum-scanner HashService.java:25;
+# our analogue is bounded Arrow batch size).
+ARROW_BATCH_FOR_BINARY = 256
+
+
+def get_spark(
+    app_name: str = "arhivum_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores=None -> local[*]. shuffle_partitions defaults to the core count so
+    local shuffles aren't over-parallelized; on a real cluster this is set to
+    2-3x total executor cores via spark-submit --conf.
+    """
+    cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None and cores_env:
+        cores = int(cores_env)
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or (cores if cores else os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_BATCH_FOR_BINARY),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
