@@ -1,0 +1,83 @@
+"""Deterministic synthetic image codec (numpy-only).
+
+This container has NO image libraries (no PIL/opencv/libjpeg), so real
+PNG/JPEG decode is impossible here. This module is a clearly-marked
+deterministic stand-in with the same *shape* as a real codec so every
+Spark-side piece — binary `bytes` column, Arrow-batched pandas-UDF decode,
+PSNR verification, lossy-vs-lossless handling — is real and tested:
+
+- "png"  -> ARVL container: zlib-compressed raw RGB (lossless).
+- "jpeg" -> ARVY container: uniform mid-rise quantization (step q) + zlib —
+  a lossy codec with analytically bounded error (MSE ~= q^2/12, so q=8 gives
+  PSNR ~40.9 dB, q=4 ~46.9 dB), standing in for JPEG's DCT quantization.
+
+On a production cluster, swap `decode`/`encode_*` for PIL/turbojpeg calls
+inside the same pandas UDFs; nothing else changes.
+
+Reference parity note: the reference never decodes images — it streams bytes
+into SHA-256 (archivum-scanner HashService.java:58-109). The graft adds
+decoded-pixel semantics (PSNR >= 40 dB invariant, BASELINE.json input_hint),
+which this codec makes verifiable without image libs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC_LOSSLESS = b"ARVL"
+MAGIC_LOSSY = b"ARVY"
+_HDR = struct.Struct("<4sHHB")  # magic, w, h, qstep (0 for lossless)
+
+
+def encode_lossless(pixels: np.ndarray) -> bytes:
+    """pixels: (h, w, 3) uint8 -> lossless container bytes."""
+    h, w, _ = pixels.shape
+    return _HDR.pack(MAGIC_LOSSLESS, w, h, 0) + zlib.compress(
+        pixels.tobytes(), 6
+    )
+
+
+def encode_lossy(pixels: np.ndarray, qstep: int = 8) -> bytes:
+    """pixels: (h, w, 3) uint8 -> lossy container (uniform quantization).
+
+    Stores the quantization quotient; decode reconstructs bin midpoints.
+    Max abs error qstep/2 - 1 => PSNR >= 20*log10(255/(qstep/2)) dB.
+    """
+    if not 2 <= qstep <= 64:
+        raise ValueError(f"qstep out of range: {qstep}")
+    h, w, _ = pixels.shape
+    quot = (pixels // qstep).astype(np.uint8)
+    return _HDR.pack(MAGIC_LOSSY, w, h, qstep) + zlib.compress(quot.tobytes(), 6)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Container bytes -> (h, w, 3) uint8 pixels."""
+    magic, w, h, qstep = _HDR.unpack_from(data, 0)
+    raw = zlib.decompress(data[_HDR.size :])
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if magic == MAGIC_LOSSLESS:
+        return arr
+    if magic == MAGIC_LOSSY:
+        return np.minimum(
+            arr.astype(np.uint16) * qstep + qstep // 2, 255
+        ).astype(np.uint8)
+    raise ValueError(f"unknown codec magic: {magic!r}")
+
+
+def header(data: bytes) -> tuple[str, int, int]:
+    """Cheap metadata sniff without full decode: (fmt, w, h)."""
+    magic, w, h, _ = _HDR.unpack_from(data, 0)
+    fmt = "png" if magic == MAGIC_LOSSLESS else "jpeg"
+    return fmt, w, h
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

@@ -1,0 +1,52 @@
+"""Pipeline configuration.
+
+One dataclass holds every signature/LSH/clustering knob so "the same
+shingle/signature config" (the recall gate's precondition, BASELINE.json
+north_rule) is a single value passed through the whole pipeline and pinned
+in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # pixel-block shingles (MinHash domain)
+    block: int = 8                # shingle block edge in pixels
+    gray_qstep: int = 16          # block-mean quantization (re-encode robust)
+
+    # MinHash signature
+    num_perm: int = 128           # k permutations
+    minhash_seed: int = 42
+
+    # LSH banding: num_perm = bands * rows_per_band
+    bands: int = 32
+    rows_per_band: int = 4
+
+    # SimHash over caption tokens
+    simhash_bits: int = 64
+    simhash_max_hamming: int = 3  # near-dup caption threshold
+
+    # candidate verification
+    min_signature_agreement: float = 0.8   # est. Jaccard to accept a pair
+    psnr_verify_db: float = 40.0           # lossy-format pixel invariant
+
+    # skew handling: bands whose key frequency exceeds this get salted
+    hot_band_threshold: int = 64
+    salt_buckets: int = 16
+    max_pairs_per_band: int = 4096         # hard cap per (band,key) group
+
+    # connected components
+    cc_max_iters: int = 50
+
+    # substring (suffix) pass over captions
+    substring_max_tokens: int = 64         # only captions this short can be "contained"
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError("num_perm must equal bands * rows_per_band")
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,248 @@
+"""Deterministic synthetic image+caption table with planted duplicate cohorts.
+
+FIXTURES.md §A made concrete. Every row is a pure function of
+(row_index, n_rows, seed, params) so generation is embarrassingly parallel —
+Spark generates with `spark.range(n).mapInPandas(...)`, no cross-row data
+movement: a duplicate row re-derives its base row's pixels from the base
+index's seed instead of copying them.
+
+Cohort layout over indices [0, n):
+    [0, 70%)           base   — independent images
+                         base j with j % 97 == 0  -> all-black image (skew)
+                         base j with j % 101 == 0 -> boilerplate caption (skew)
+    [70%, 78%)         exact  — byte-identical copy of a base row
+    [78%, 86%)         reenc  — same pixels re-encoded lossy (PSNR >= 40 dB)
+    [86%, 94%)         perturb— <=5% of 8x8 pixel blocks replaced
+    [94%, 100%)        caption— fresh image, caption copied (even rows) or a
+                         contiguous sub-span (odd rows — the substring class)
+
+Ground truth: `truth_clusters` assigns every row in an image-level
+near-duplicate class (exact/reenc/perturb + the all-black cohort) a cluster
+id; caption relations are listed separately in `truth_caption_pairs`.
+Mirrors the reference's scenario-duplicates fixture
+(scripts/setup-test-fixtures.sh:140-155) at parametric scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from arhivum_spark import codec
+from arhivum_spark.functions import phash as ph
+
+VOCAB = [
+    f"{w}{i}"
+    for i in range(40)
+    for w in ("sunset", "dog", "city", "tree", "ocean", "person", "sky", "car")
+]
+BOILERPLATE = "stock photo of a generic product on white background"
+
+BASE_FRAC = 0.70
+COHORT_FRACS = (("exact", 0.08), ("reenc", 0.08), ("perturb", 0.08), ("caption", 0.06))
+ALLBLACK_MOD = 97
+BOILER_MOD = 101
+
+
+@dataclass(frozen=True)
+class GenParams:
+    n: int
+    seed: int = 42
+    img_hw: int = 64
+    lossy_qstep_base: int = 4
+    lossy_qstep_reenc: int = 8
+
+
+def _bounds(p: GenParams) -> dict[str, tuple[int, int]]:
+    n_base = int(p.n * BASE_FRAC)
+    out = {"base": (0, n_base)}
+    pos = n_base
+    for name, frac in COHORT_FRACS:
+        cnt = int(p.n * frac)
+        out[name] = (pos, pos + cnt)
+        pos += cnt
+    # remainder (rounding) -> more base-like uniques appended to caption cohort end
+    out["tail"] = (pos, p.n)
+    return out
+
+
+def cohort_of(i: int, p: GenParams) -> str:
+    for name, (lo, hi) in _bounds(p).items():
+        if lo <= i < hi:
+            return name if name != "tail" else "base_tail"
+    raise IndexError(i)
+
+
+def base_of(i: int, p: GenParams) -> int:
+    """Deterministic base-row index for a derived row (Knuth multiplicative)."""
+    n_base = _bounds(p)["base"][1]
+    return (i * 2654435761) % n_base
+
+
+def _rng(p: GenParams, tag: int, j: int) -> np.random.Generator:
+    return np.random.default_rng(
+        np.random.SeedSequence([p.seed, tag, j]).generate_state(4)
+    )
+
+
+def base_pixels(j: int, p: GenParams) -> np.ndarray:
+    if j % ALLBLACK_MOD == 0:
+        return np.zeros((p.img_hw, p.img_hw, 3), dtype=np.uint8)
+    return _rng(p, 1, j).integers(0, 256, (p.img_hw, p.img_hw, 3), dtype=np.uint8)
+
+
+def base_caption(j: int, p: GenParams) -> str:
+    if j % BOILER_MOD == 0:
+        return BOILERPLATE
+    rng = _rng(p, 2, j)
+    n_tok = int(rng.integers(5, 31))
+    return " ".join(VOCAB[k] for k in rng.integers(0, len(VOCAB), n_tok))
+
+
+def base_encoding(j: int, p: GenParams) -> tuple[str, int]:
+    """(fmt, qstep): odd bases lossless png, even bases lossy jpeg."""
+    return ("png", 0) if j % 2 == 1 else ("jpeg", p.lossy_qstep_base)
+
+
+def build_row(i: int, p: GenParams) -> dict:
+    cohort = cohort_of(i, p)
+    if cohort in ("base", "base_tail"):
+        j, pixels, caption = i, base_pixels(i, p), base_caption(i, p)
+        fmt, qstep = base_encoding(i, p)
+    else:
+        j = base_of(i, p)
+        pixels, caption = base_pixels(j, p), base_caption(j, p)
+        fmt, qstep = base_encoding(j, p)
+        if cohort == "reenc":
+            fmt, qstep = "jpeg", p.lossy_qstep_reenc
+        elif cohort == "perturb":
+            rng = _rng(p, 3, i)
+            pixels = pixels.copy()
+            tiles = p.img_hw // 8
+            n_flip = max(1, int(tiles * tiles * 0.03))
+            for _ in range(n_flip):
+                ty, tx = rng.integers(0, tiles, 2)
+                pixels[ty * 8 : (ty + 1) * 8, tx * 8 : (tx + 1) * 8] = rng.integers(
+                    0, 256, (8, 8, 3), dtype=np.uint8
+                )
+        elif cohort == "caption":
+            pixels = _rng(p, 4, i).integers(
+                0, 256, (p.img_hw, p.img_hw, 3), dtype=np.uint8
+            )
+            fmt, qstep = ("png", 0) if i % 2 == 1 else ("jpeg", p.lossy_qstep_base)
+            if i % 2 == 1:
+                toks = caption.split()
+                if len(toks) > 3:  # contiguous sub-span -> substring class
+                    caption = " ".join(toks[1 : max(3, len(toks) - 1)])
+    data = (
+        codec.encode_lossless(pixels)
+        if fmt == "png"
+        else codec.encode_lossy(pixels, qstep)
+    )
+    decoded = codec.decode(data)
+    return {
+        "image_id": f"img-{i:010d}",
+        "bytes": data,
+        "w": np.int32(p.img_hw),
+        "h": np.int32(p.img_hw),
+        "fmt": fmt,
+        "caption": caption,
+        "phash": np.int64(ph.phash64(decoded)),
+    }
+
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def images_df(spark, p: GenParams, partitions: int | None = None):
+    """Distributed generation: spark.range -> mapInPandas, no shuffle."""
+    nparts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [build_row(int(i), p) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, p.n, 1, nparts)
+        .mapInPandas(gen, schema=IMAGES_SCHEMA)
+    )
+
+
+def images_pandas(p: GenParams) -> pd.DataFrame:
+    """Driver-side generation for small pytest fixtures."""
+    return pd.DataFrame([build_row(i, p) for i in range(p.n)])
+
+
+# ---------------------------------------------------------------------------
+# Ground truth (index arithmetic only — no pixels)
+
+
+def truth_clusters(p: GenParams) -> pd.DataFrame:
+    """(image_id, cluster_id) for every row in an image-level dup cluster.
+
+    Cluster id = min image index in the cluster. All all-black bases (and
+    their derived rows) form ONE cluster; other clusters are {base} U
+    {exact/reenc/perturb rows deriving from it}.
+    """
+    b = _bounds(p)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    n_base = b["base"][1]
+    blacks = list(range(0, n_base, ALLBLACK_MOD))
+    for j in blacks[1:]:
+        union(blacks[0], j)
+    for name in ("exact", "reenc", "perturb"):
+        lo, hi = b[name]
+        for i in range(lo, hi):
+            union(base_of(i, p), i)
+    members: dict[int, list[int]] = {}
+    for x in set(parent) | set(blacks):
+        members.setdefault(find(x), []).append(x)
+    rows = [
+        {"image_id": f"img-{i:010d}", "cluster_id": f"img-{root:010d}"}
+        for root, mem in members.items()
+        if len(mem) > 1 or root in mem  # singleton blacks impossible; keep all
+        for i in mem
+    ]
+    return pd.DataFrame(rows)
+
+
+def truth_caption_pairs(p: GenParams) -> pd.DataFrame:
+    """(image_id_a, image_id_b, dup_class) for caption-relation rows:
+    dup_class 'caption_exact' (copied) or 'caption_substring' (sub-span)."""
+    lo, hi = _bounds(p)["caption"]
+    rows = []
+    for i in range(lo, hi):
+        j = base_of(i, p)
+        toks = base_caption(j, p).split()
+        cls = (
+            "caption_substring"
+            if i % 2 == 1 and len(toks) > 3
+            else "caption_exact"
+        )
+        rows.append(
+            {
+                "image_id_a": f"img-{j:010d}",
+                "image_id_b": f"img-{i:010d}",
+                "dup_class": cls,
+            }
+        )
+    return pd.DataFrame(rows)

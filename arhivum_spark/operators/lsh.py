@@ -1,0 +1,138 @@
+"""LSH banding, hot-band salting, and candidate-edge generation.
+
+Generalizes the reference's hash-equality probe join (J1,
+ScannedFileRepository.findBySha256) to near-duplicates: the MinHash
+signature is split into `bands` bands of `rows_per_band` values; two images
+that share any band key are candidates (P[share a band] = 1-(1-J^r)^b).
+
+Scale design (the parts Catalyst can't do for us — SURVEY.md §4):
+
+- **Exact-dedup first**: byte-identical rows are collapsed to one
+  representative BEFORE banding (the reference's skip-expensive-work-for-
+  duplicates optimization, ScanCommand.java:342-353, applied to the whole
+  near-dup stage). Degenerate cohorts (all-black images) collapse from
+  billions of rows to a handful of distinct contents.
+- **Star edges, not cliques**: within a (band, key, salt) bucket we emit
+  (hub=min_id, member) edges via a ranking window — O(k) edges per bucket
+  instead of O(k^2) pairs. Connected components restores the full cluster.
+  No collect_list, no quadratic pair blowup on hot bands.
+- **Two-pass hot-key salting**: band-key frequencies are counted, keys above
+  `hot_band_threshold` get a salt = hash(image_id) % salt_buckets appended,
+  splitting a hot bucket's window into bounded partitions. Buckets of a
+  salted key are re-linked by CC through the exact-dup and multi-band
+  overlap edges (and a per-key hub chain emitted from the count pass).
+- AQE skew-join stays on for the verification join (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from arhivum_spark.config import DedupConfig
+
+
+def band_keys(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "image_id") -> DataFrame:
+    """Explode each signature into (image_id, band, key) — JVM-side only.
+
+    key = hash of the band's signature slice (plus band index so identical
+    slices in different bands don't collide).
+    """
+    r = cfg.rows_per_band
+    bands_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+        lambda b: F.hash(F.slice(F.col("minhash"), b * r + 1, r), b),
+    )
+    return sig_df.select(
+        F.col(id_col).alias("image_id"),
+        F.posexplode(bands_arr).alias("band", "key"),
+    )
+
+
+def salted_candidate_edges(
+    bands: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """(band,key) buckets -> star candidate edges (src < dst), salt-split.
+
+    Two passes:
+      1. count band-key frequencies; keys above hot_band_threshold are 'hot'
+      2. hot keys get per-row salt; a window per (band, key, salt) emits
+         hub->member edges; for hot keys an extra bucket-hub chain edge set
+         links the salt buckets of the same (band, key) together.
+    """
+    counts = bands.groupBy("band", "key").agg(F.count("*").alias("cnt"))
+    hot = counts.filter(F.col("cnt") > cfg.hot_band_threshold).select(
+        "band", "key", F.lit(True).alias("is_hot")
+    )
+    salted = bands.join(F.broadcast(hot), ["band", "key"], "left").withColumn(
+        "salt",
+        F.when(
+            F.col("is_hot").isNotNull(),
+            F.pmod(F.xxhash64("image_id"), F.lit(cfg.salt_buckets)),
+        ).otherwise(F.lit(0)),
+    )
+    w = Window.partitionBy("band", "key", "salt").orderBy("image_id")
+    starred = salted.withColumn("hub", F.first("image_id").over(w))
+    edges = (
+        starred.filter(F.col("image_id") != F.col("hub"))
+        .select(F.col("hub").alias("src"), F.col("image_id").alias("dst"))
+    )
+    # link salt buckets of the same hot (band,key): chain their bucket hubs
+    bucket_hubs = (
+        salted.join(F.broadcast(hot.select("band", "key")), ["band", "key"])
+        .groupBy("band", "key", "salt")
+        .agg(F.min("image_id").alias("bucket_hub"))
+    )
+    wk = Window.partitionBy("band", "key").orderBy("salt")
+    hub_chain = (
+        bucket_hubs.withColumn("key_hub", F.first("bucket_hub").over(wk))
+        .filter(F.col("bucket_hub") != F.col("key_hub"))
+        .select(F.col("key_hub").alias("src"), F.col("bucket_hub").alias("dst"))
+    )
+    return edges.unionByName(hub_chain).distinct()
+
+
+def verify_edges(
+    edges: DataFrame,
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Keep candidate edges whose full-signature agreement >= threshold.
+
+    Agreement = fraction of equal MinHash positions (unbiased Jaccard
+    estimate, the true-Jaccard generalization of the reference's
+    calculateSimilarity proxy). Computed with zip_with/aggregate — stays in
+    the JVM, no Python. Adds est_jaccard and phash_hamming columns.
+    """
+    sigs = sig_df.select(
+        F.col(id_col).alias("_vid"),
+        F.col("minhash").alias("_mh"),
+        F.col("phash").alias("_ph"),
+    )
+    a = sigs.select(
+        F.col("_vid").alias("src"),
+        F.col("_mh").alias("mh_a"),
+        F.col("_ph").alias("ph_a"),
+    )
+    b = sigs.select(
+        F.col("_vid").alias("dst"),
+        F.col("_mh").alias("mh_b"),
+        F.col("_ph").alias("ph_b"),
+    )
+    agree = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        edges.join(a, "src")
+        .join(b, "dst")
+        .withColumn("est_jaccard", agree / F.lit(cfg.num_perm))
+        .withColumn(
+            "phash_hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))),
+        )
+        .filter(F.col("est_jaccard") >= cfg.min_signature_agreement)
+        .select("src", "dst", "est_jaccard", "phash_hamming")
+    )

@@ -1,0 +1,130 @@
+"""End-to-end image near-duplicate detection & clustering pipeline.
+
+The Spark shape of the reference's scan lifecycle (SURVEY.md §3.1):
+
+    stage 1  signatures   read images -> sha256 + MinHash + SimHash + pHash
+                          (one Arrow-batched decode pass; bytes projected
+                          away immediately after — never shuffled)
+    stage 2  exact        first-wins dup flag on content_sha256; only
+                          distinct-content representatives continue (the
+                          reference's skip-work-for-duplicates optimization)
+    stage 3  candidates   LSH band explode -> hot-key salting -> star edges
+                          -> signature-agreement verification
+    stage 4  clusters     connected components over exact+near edges,
+                          representative election (best-copy window), final
+                          cluster table
+    stage 5  captions     SimHash near-dup caption pairs + substring
+                          (suffix) containment pairs — separate output
+
+Every stage commits a snapshot via StageStore (resume-mid-pipeline) and
+appends per-partition metrics. All joins on ids/signatures only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from arhivum_spark.config import DedupConfig
+from arhivum_spark.functions.signatures import attach_signatures
+from arhivum_spark.operators import dedup_exact
+from arhivum_spark.operators.connected_components import connected_components
+from arhivum_spark.operators.lsh import band_keys, salted_candidate_edges, verify_edges
+from arhivum_spark.sources.checkpoints import StageStore
+
+
+def run_pipeline(
+    images: DataFrame,
+    store: StageStore,
+    cfg: DedupConfig = DedupConfig(),
+) -> DataFrame:
+    """images -> committed cluster table (image_id, cluster_id, is_duplicate,
+    representative_id, content_sha256). Resumes from committed stages."""
+
+    sigs = store.read_or_compute(
+        "s1_signatures", lambda: attach_signatures(images, cfg)
+    )
+
+    def exact_stage() -> DataFrame:
+        return dedup_exact.flag_duplicates(
+            sigs.select("image_id", "content_sha256"),
+            hash_col="content_sha256",
+            id_col="image_id",
+        )
+    exact = store.read_or_compute("s2_exact", exact_stage)
+
+    def candidate_stage() -> DataFrame:
+        reps = exact.filter(~F.col("is_duplicate")).select("image_id")
+        rep_sigs = sigs.join(reps, "image_id", "left_semi")
+        bands = band_keys(rep_sigs, cfg)
+        cand = salted_candidate_edges(bands, cfg)
+        return verify_edges(cand, rep_sigs, cfg)
+    near_edges = store.read_or_compute("s3_candidates", candidate_stage)
+
+    def cluster_stage() -> DataFrame:
+        # exact-dup edges: every duplicate row -> its byte-identical representative
+        exact_edges = (
+            exact.filter(F.col("is_duplicate"))
+            .select(
+                F.col("representative_id").alias("src"),
+                F.col("image_id").alias("dst"),
+            )
+        )
+        edges = exact_edges.unionByName(
+            near_edges.select("src", "dst")
+        ).distinct()
+        vertices = exact.select(F.col("image_id").alias("id"))
+        comp = connected_components(
+            vertices, edges, max_iters=cfg.cc_max_iters, id_col="id"
+        )
+        # representative election (W2/J5): lossless copies first, then id asc
+        members = comp.join(
+            sigs.select("image_id", "fmt", "content_sha256"),
+            comp.id == F.col("image_id"),
+        ).drop("id")
+        w = Window.partitionBy("component").orderBy(
+            F.when(F.col("fmt") == "png", 0).otherwise(1).asc(),
+            F.col("image_id").asc(),
+        )
+        return (
+            members.withColumn("representative_id", F.first("image_id").over(w))
+            .withColumn(
+                "is_duplicate", F.col("image_id") != F.col("representative_id")
+            )
+            .select(
+                "image_id",
+                F.col("component").alias("cluster_id"),
+                "is_duplicate",
+                "representative_id",
+                "content_sha256",
+            )
+        )
+
+    return store.read_or_compute("s4_clusters", cluster_stage)
+
+
+def caption_pairs(
+    sigs: DataFrame, store: StageStore, cfg: DedupConfig = DedupConfig()
+) -> DataFrame:
+    """Caption near-dup pairs: SimHash banding + substring containment."""
+    from arhivum_spark.operators.dedup_text import (
+        simhash_near_pairs,
+        substring_pairs,
+    )
+
+    def compute() -> DataFrame:
+        near = simhash_near_pairs(
+            sigs.select("image_id", "simhash"), cfg,
+            id_col="image_id", simhash_col="simhash",
+        ).select("id_a", "id_b", F.lit("caption_simhash").alias("pair_class"))
+        subs = substring_pairs(
+            sigs.select(F.col("image_id").alias("id"), F.col("caption").alias("text")),
+            cfg,
+        ).select(
+            F.col("contained_id").alias("id_a"),
+            F.col("container_id").alias("id_b"),
+            F.lit("caption_substring").alias("pair_class"),
+        )
+        return near.unionByName(subs)
+
+    return store.read_or_compute("s5_captions", compute)

@@ -1,0 +1,140 @@
+"""End-to-end image dedup pipeline: recall >= 0.99 gate, per-row invariants,
+and resume-from-checkpoint semantics (SURVEY.md §5 test plan items 4-6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arhivum_spark import codec, datagen
+from arhivum_spark.config import DedupConfig
+from arhivum_spark.plans.image_dedup import caption_pairs, run_pipeline
+from arhivum_spark.functions.signatures import attach_signatures
+from arhivum_spark.sources.checkpoints import StageStore
+
+P = datagen.GenParams(n=2000, seed=42, img_hw=64)
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = datagen.images_df(spark, P, partitions=8)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def clusters(spark, images, tmp_path_factory):
+    store = StageStore(spark, str(tmp_path_factory.mktemp("stages")))
+    out = run_pipeline(images, store, CFG)
+    return out.toPandas(), store
+
+
+def _pair_recall(truth: pd.DataFrame, pred: pd.DataFrame) -> float:
+    """Fraction of truth same-cluster pairs that are same-cluster in pred,
+    computed via intersection-subcluster sizes (no pair materialization)."""
+    merged = truth.merge(pred, on="image_id", how="left")
+    assert merged["cluster_id_y"].notna().all(), "pipeline lost rows"
+
+    def pairs(sizes):
+        return float(np.sum(sizes * (sizes - 1) / 2))
+
+    total = pairs(merged.groupby("cluster_id_x").size().values)
+    hit = pairs(merged.groupby(["cluster_id_x", "cluster_id_y"]).size().values)
+    return hit / total if total else 1.0
+
+
+def test_recall_gate(clusters):
+    pred, _ = clusters
+    truth = datagen.truth_clusters(P)
+    recall = _pair_recall(
+        truth, pred.rename(columns={"cluster_id": "cluster_id"})[
+            ["image_id", "cluster_id"]
+        ]
+    )
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+
+
+def test_exact_byte_dups_share_cluster_and_flag(clusters):
+    pred, _ = clusters
+    by_id = pred.set_index("image_id")
+    lo, hi = datagen._bounds(P)["exact"]
+    for i in range(lo, min(lo + 25, hi)):
+        a = f"img-{i:010d}"
+        b = f"img-{datagen.base_of(i, P):010d}"
+        assert by_id.loc[a, "cluster_id"] == by_id.loc[b, "cluster_id"]
+    # every cluster elects exactly one non-duplicate representative
+    reps = pred[~pred["is_duplicate"]].groupby("cluster_id").size()
+    assert (reps == 1).all()
+    assert (
+        pred.groupby("cluster_id")["representative_id"].nunique() == 1
+    ).all()
+
+
+def test_allblack_skew_cohort_single_cluster(clusters):
+    pred, _ = clusters
+    n_base = datagen._bounds(P)["base"][1]
+    blacks = [f"img-{j:010d}" for j in range(0, n_base, datagen.ALLBLACK_MOD)]
+    got = pred[pred["image_id"].isin(blacks)]["cluster_id"].nunique()
+    assert got == 1, f"all-black cohort split into {got} clusters"
+
+
+def test_per_row_invariants_decode_psnr_and_caption(spark, images):
+    """input_hint invariants: decoded pixels match the source pixels
+    (exactly for lossless, PSNR >= 40 dB for lossy); caption equality for
+    byte-identical rows."""
+    rows = images.limit(0).schema and images.toPandas()  # full small table
+    for _, r in rows.sample(n=200, random_state=0).iterrows():
+        i = int(r["image_id"].split("-")[1])
+        cohort = datagen.cohort_of(i, P)
+        dec = codec.decode(bytes(r["bytes"]))
+        if cohort in ("base", "base_tail", "exact"):
+            j = i if cohort in ("base", "base_tail") else datagen.base_of(i, P)
+            src = datagen.base_pixels(j, P)
+            if r["fmt"] == "png":
+                assert np.array_equal(dec, src)
+            else:
+                assert codec.psnr(src, dec) >= CFG.psnr_verify_db
+        elif cohort == "reenc":
+            src = datagen.base_pixels(datagen.base_of(i, P), P)
+            assert codec.psnr(src, dec) >= CFG.psnr_verify_db
+
+
+def test_caption_pairs_cover_planted_caption_dups(spark, images, tmp_path_factory):
+    store = StageStore(spark, str(tmp_path_factory.mktemp("capstages")))
+    sigs = attach_signatures(images, CFG)
+    got = caption_pairs(sigs, store, CFG).toPandas()
+    got_set = set(zip(got["id_a"], got["id_b"])) | set(
+        zip(got["id_b"], got["id_a"])
+    )
+    truth = datagen.truth_caption_pairs(P)
+    missing = [
+        (a, b)
+        for a, b in zip(truth["image_id_a"], truth["image_id_b"])
+        if (a, b) not in got_set
+    ]
+    recall = 1 - len(missing) / len(truth)
+    assert recall >= 0.99, f"caption-pair recall {recall:.4f}; missing {missing[:5]}"
+
+
+def test_resume_reuses_committed_stages(spark, images, tmp_path_factory):
+    """Kill-and-rerun contract: a second run over the same store recomputes
+    nothing and returns byte-identical results."""
+    root = str(tmp_path_factory.mktemp("resume"))
+    small = datagen.GenParams(n=300, seed=42, img_hw=64)
+    df = datagen.images_df(spark, small, partitions=4)
+    store = StageStore(spark, root)
+    out1 = run_pipeline(df, store, CFG).toPandas().sort_values("image_id")
+    assert store.is_committed("s1_signatures") and store.is_committed("s4_clusters")
+
+    # rerun with a poisoned images df: if any stage recomputed, it would differ
+    poisoned = datagen.images_df(spark, datagen.GenParams(n=10, seed=7), partitions=1)
+    out2 = run_pipeline(poisoned, StageStore(spark, root), CFG).toPandas().sort_values(
+        "image_id"
+    )
+    pd.testing.assert_frame_equal(
+        out1.reset_index(drop=True), out2.reset_index(drop=True)
+    )
+    m = StageStore(spark, root).metrics()
+    assert m is not None and m.count() > 0
