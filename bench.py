@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the full query registry at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` plus the headline
+image near-duplicate pipeline on a deterministically generated image+caption
+table, and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys carry the graft's own north-rule numbers (images/sec on the dedup
+pipeline). Scaling (N vs 4N cores) evidence lives in bench_scaling.py /
+BENCH.md — this script is the single-config per-round run.
+
+Only the JSON line goes to stdout; Spark chatter stays on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from arhivum_spark import datagen  # noqa: E402
+from arhivum_spark.config import DedupConfig  # noqa: E402
+from arhivum_spark.plans.image_dedup import run_pipeline  # noqa: E402
+from arhivum_spark.queries import REGISTRY  # noqa: E402
+from arhivum_spark.session import get_spark  # noqa: E402
+from arhivum_spark.sources.checkpoints import StageStore  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
+
+
+def _force(df) -> int:
+    """Fully execute a plan without collecting results to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("arhivum_bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    query_secs: dict[str, float] = {}
+    for name, (fn, _sql) in REGISTRY.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        query_secs[name] = round(time.time() - t0, 3)
+
+    # headline: image near-dup pipeline (signatures -> exact -> LSH -> CC)
+    params = datagen.GenParams(n=N_IMAGES, seed=42, img_hw=64)
+    images = datagen.images_df(spark, params, partitions=CPUS * 2)
+    images = images.persist()
+    images.count()  # materialize generation outside the timed window
+
+    stage_root = tempfile.mkdtemp(prefix="arhivum_bench_stages_")
+    try:
+        t0 = time.time()
+        clusters = run_pipeline(images, StageStore(spark, stage_root), DedupConfig())
+        n_out = clusters.count()
+        dedup_sec = time.time() - t0
+    finally:
+        shutil.rmtree(stage_root, ignore_errors=True)
+    query_secs["image_dedup_pipeline"] = round(dedup_sec, 3)
+
+    total = round(sum(query_secs.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": query_secs,
+                "sf": _sf_from_dir(SF_DIR),
+                "dedup_images": N_IMAGES,
+                "dedup_rows_out": n_out,
+                "dedup_images_per_sec": round(N_IMAGES / dedup_sec, 1),
+                "cores": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
