@@ -1,0 +1,272 @@
+"""Embedding similarity search & near-duplicate detection.
+
+Brute-force cosine is the exact baseline (and the DuckDB-oracle-checkable
+query); random-hyperplane LSH bucketing is the 10^12-row scale path — the
+same blocking-then-verify shape as the image MinHash pipeline
+(operators/lsh.py), with sign-bit signatures instead of MinHash bands.
+
+All vector math is JVM-side (`zip_with`/`aggregate` over array<double>) —
+no Python in the hot path. Hyperplane signatures are computed with array
+intrinsics from a broadcast literal plane matrix (seeded, so both the test
+oracle and the job derive identical buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Adds `vecd` (array<double>) and `norm` columns — compute norms once,
+    before any join fans the row out."""
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn("vecd", vecd).withColumn(
+        "norm", F.sqrt(_dot("vecd", "vecd"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+
+    query_ids: DataFrame with column `id_col` selecting the query rows out
+    of `df`. The query side is broadcast — the corpus side streams, so the
+    plan is a single broadcast nested-loop + per-query top-k window. At
+    10^12 rows the same code runs with a bucketed-LSH prefilter
+    (`rhp_bucket_candidates`) replacing the crossJoin.
+    """
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("_cid"), "vecd", "norm"
+    )
+    q = (
+        base.join(query_ids.select(F.col(id_col).alias("_cid")), "_cid")
+        .select(
+            F.col("_cid").alias("query_id"),
+            F.col("vecd").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("_cid") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("vecd", "qvec") / (F.col("norm") * F.col("qnorm")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("_cid")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("_cid").alias("neighbor_id"),
+            "cosine",
+            F.col("rk").alias("rank"),
+        )
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — exact O(n^2)
+    verify. Small-scale oracle / post-blocking verify step; the scale path
+    prefilters with `rhp_bucket_candidates` so only bucket-mates are
+    compared."""
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("_id"), "vecd", "norm"
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("vecd").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("vecd").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    """Seeded random hyperplanes (nbits, dim) — identical across processes."""
+    return np.random.default_rng(seed).standard_normal((nbits, dim))
+
+
+def rhp_signature(
+    df: DataFrame, planes: np.ndarray, vec_col: str = "vecd"
+) -> DataFrame:
+    """Random-hyperplane sign signature as an int64 bucket key, via array
+    intrinsics over a literal plane matrix (JVM-side, no Python).
+
+    P[sign bits agree] = 1 - theta/pi per bit — Charikar's SimHash for
+    vectors; `nbits` trades recall for bucket size.
+    """
+    bits = []
+    for j in range(planes.shape[0]):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bits.append(
+            F.when(_dot(vec_col, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+            * F.lit(int(2**j))
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn("bucket", bucket.cast("long"))
+
+
+def rhp_ann_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    nbits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing an LSH bucket with the
+    query in ANY of `n_tables` independent hyperplane tables; exact cosine
+    rank within candidates.
+
+    Scale shape: corpus is bucketed once per table (a narrow shuffle on
+    (table, bucket)); queries are broadcast; the crossJoin of cosine_topk
+    becomes an equi-join on bucket keys. Recall is tunable via
+    (nbits, n_tables) — tested against the exact oracle in
+    tests/test_embeddings.py.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("_cid"), "vecd", "norm"
+    )
+    sigs = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, nbits, seed=seed + 1000 * t)
+        sigs.append(
+            rhp_signature(base, planes)
+            .withColumn("table", F.lit(t))
+            .select("_cid", "vecd", "norm", "table", "bucket")
+        )
+    bucketed = sigs[0]
+    for s in sigs[1:]:
+        bucketed = bucketed.unionByName(s)
+    q = (
+        bucketed.join(query_ids.select(F.col(id_col).alias("_cid")), "_cid")
+        .select(
+            F.col("_cid").alias("query_id"),
+            F.col("vecd").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+            "table",
+            "bucket",
+        )
+    )
+    cands = (
+        bucketed.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("_cid") != F.col("query_id"))
+        .select("query_id", "qvec", "qnorm", "_cid", "vecd", "norm")
+        .dropDuplicates(["query_id", "_cid"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("_cid"))
+    return (
+        cands.withColumn(
+            "cosine",
+            F.round(_dot("vecd", "qvec") / (F.col("norm") * F.col("qnorm")), 6),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("_cid").alias("neighbor_id"),
+            "cosine",
+            F.col("rk").alias("rank"),
+        )
+    )
+
+
+def centroid_assign(
+    df: DataFrame,
+    n_iters: int = 5,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: distributed Lloyd's k-means over the embedding
+    column (init = deterministic sample), returning (id, cell).
+
+    Each iteration: broadcast centroids -> assign (array intrinsics) ->
+    groupBy(cell) mean (one narrow shuffle). Centroids live on the driver
+    (n_cells x dim floats — trivially small); the data never leaves
+    executors unaggregated."""
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("_id"), "vecd")
+    init = (
+        base.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select("vecd")
+        .collect()
+    )
+    centroids = [list(r[0]) for r in init]
+
+    def assign(cents: list[list[float]]) -> Column:
+        best = None
+        for ci, c in enumerate(cents):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with("vecd", carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cell = F.struct(d2.alias("d"), F.lit(ci).alias("c"))
+            best = cell if best is None else F.when(cell["d"] < best["d"], cell).otherwise(best)
+        return best["c"]
+
+    for _ in range(n_iters):
+        assigned = base.withColumn("cell", assign(centroids))
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.element_at("vecd", i + 1)).alias(f"m{i}")
+                        for i in range(len(centroids[0]))
+                    ]
+                ).alias("mean")
+            )
+            .collect()
+        )
+        for r in means:
+            centroids[r["cell"]] = list(r["mean"])
+    return base.withColumn("cell", assign(centroids)).select(
+        F.col("_id").alias(id_col), "cell"
+    )

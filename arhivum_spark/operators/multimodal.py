@@ -1,0 +1,173 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+Design for 100 TB media tables:
+- media stays an opaque ``binary`` column with first-class typed metadata
+  columns next to it (the BASELINE.json input_hint shape: bytes/w/h/fmt);
+- every decode / feature-extract / resize / frame-sample pass is a single
+  Arrow-batched ``mapInPandas`` over bounded batches (session.py caps
+  ``arrow.maxRecordsPerBatch`` because rows are multi-MB);
+- bytes are projected away the moment features are extracted — only ids +
+  features enter shuffles (same rule as the image signature stage,
+  functions/signatures.py).
+
+Real codec libraries (PIL/libjpeg/ffmpeg) are NOT in this container, so the
+decode core is pluggable: the deterministic ARVL/ARVY codec
+(arhivum_spark/codec.py) exercises the full plumbing, while
+``decode_external`` is a clearly marked stub that raises
+NotImplementedError until a real library is dropped in. Schema, batching,
+partitioning, and UDF signatures are real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arhivum_spark import codec
+
+MEDIA_META_SCHEMA = (
+    "fmt string, dec_w int, dec_h int, mean_pixel double, ok boolean"
+)
+
+
+def decode_external(data: bytes, fmt: str) -> np.ndarray:
+    """STUB: decode real-world formats (jpeg/png/webp/mp4 keyframes).
+
+    Swap-in point for PIL / turbojpeg / pyav on a production cluster —
+    the surrounding Spark plumbing does not change.
+    """
+    raise NotImplementedError(
+        f"external codec for {fmt!r} not available in this environment; "
+        "plug PIL/turbojpeg/pyav in here"
+    )
+
+
+def _decode_any(data: bytes, fmt: str) -> np.ndarray:
+    if data[:4] in (codec.MAGIC_LOSSLESS, codec.MAGIC_LOSSY):
+        return codec.decode(data)
+    return decode_external(data, fmt)
+
+
+def attach_media_meta(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Decode each media row once; emit typed metadata + a cheap content
+    feature (mean pixel). Undecodable rows get ok=false instead of failing
+    the job (the reference's continue-past-errors contract,
+    FileWalkerService.java:87-90)."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, {MEDIA_META_SCHEMA}"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, raw, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    px = _decode_any(bytes(raw), fmt)
+                    rows.append(
+                        (rid, fmt, px.shape[1], px.shape[0],
+                         float(px.mean()), True)
+                    )
+                except Exception:
+                    rows.append((rid, fmt, -1, -1, float("nan"), False))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "fmt", "dec_w", "dec_h", "mean_pixel", "ok"],
+            )
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(extract, schema=schema)
+
+
+def resize_images(
+    df: DataFrame, out_hw: int, bytes_col: str = "bytes",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Nearest-neighbor resize to (out_hw, out_hw), re-encoded lossless.
+
+    Arrow-batched; output rows carry new bytes + dims. The interpolation
+    kernel is numpy index arithmetic (vectorized); a production swap-in
+    uses PIL's resampling inside the same UDF.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, bytes binary, w int, h int"
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                px = _decode_any(bytes(raw), "")
+                h, w, _ = px.shape
+                yi = (np.arange(out_hw) * h // out_hw).clip(0, h - 1)
+                xi = (np.arange(out_hw) * w // out_hw).clip(0, w - 1)
+                resized = px[yi][:, xi]
+                out.append((rid, codec.encode_lossless(resized), out_hw, out_hw))
+            yield pd.DataFrame(out, columns=[id_col, "bytes", "w", "h"])
+
+    return df.select(id_col, bytes_col).mapInPandas(do_resize, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, bytes_col: str = "bytes",
+    id_col: str = "video_id",
+) -> DataFrame:
+    """Frame sampling for video columns — one output row per sampled frame.
+
+    Videos are modeled as a vertical stack of frames inside one binary blob
+    (deterministic fake standing in for container parsing; pyav swap-in
+    point). Emits (id, frame_index, frame_bytes) — the UDTF shape
+    (one-to-many mapInPandas) a real video pipeline needs.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, frame_index int, frame_bytes binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                px = _decode_any(bytes(raw), "")
+                h = px.shape[0]
+                frame_h = max(1, h // n_frames)
+                for fi in range(min(n_frames, h // frame_h)):
+                    frame = px[fi * frame_h : (fi + 1) * frame_h]
+                    out.append((rid, fi, codec.encode_lossless(frame)))
+            yield pd.DataFrame(
+                out, columns=[id_col, "frame_index", "frame_bytes"]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(sample, schema=schema)
+
+
+def synth_media_from_ids(
+    df: DataFrame, id_col: str = "doc_id", hw_mod: int = 9, fill_mult: int = 37
+) -> DataFrame:
+    """Deterministic media column derived from an id column — constant-fill
+    images whose dims/fill are pure functions of the id, so an analytic SQL
+    oracle can predict the decoded metadata end-to-end (the multimodal
+    plumbing correctness gate in the driver harness)."""
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, bytes binary, fmt string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid in pdf[id_col]:
+                i = int(rid)
+                hw = 8 + i % hw_mod
+                fill = (i * fill_mult) % 256
+                px = np.full((hw, hw, 3), fill, dtype=np.uint8)
+                fmt = "png" if i % 2 == 1 else "jpeg"
+                data = (
+                    codec.encode_lossless(px)
+                    if fmt == "png"
+                    else codec.encode_lossy(px, 8)
+                )
+                rows.append((rid, data, fmt))
+            yield pd.DataFrame(rows, columns=[id_col, "bytes", "fmt"])
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)

@@ -19,7 +19,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arhivum_spark.operators import dedup_exact, group_analytics, zones
+from arhivum_spark.operators import (
+    dedup_exact,
+    embeddings,
+    group_analytics,
+    multimodal,
+    text_analysis,
+    zones,
+)
 from arhivum_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -528,6 +535,217 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators (text analysis / dedup / similarity /
+# multimodal) — first-class components per the build brief, each over the
+# documents / embeddings tables.
+
+def q_txt_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.lang_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "score_de", "score_en", "score_es", "score_fr", "lang_pred"
+    )
+
+
+_SW = {
+    lang: ", ".join(f"'{w}'" for w in ws)
+    for lang, ws in text_analysis.STOPWORDS.items()
+}
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+SQL_TXT_LANG = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains([{_SW['de']}], x))) AS score_de,
+    len(list_filter(toks, x -> list_contains([{_SW['en']}], x))) AS score_en,
+    len(list_filter(toks, x -> list_contains([{_SW['es']}], x))) AS score_es,
+    len(list_filter(toks, x -> list_contains([{_SW['fr']}], x))) AS score_fr
+  FROM t)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+       WHEN score_de >= greatest(score_en, score_es, score_fr) THEN 'de'
+       WHEN score_en >= greatest(score_es, score_fr) THEN 'en'
+       WHEN score_es >= score_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def q_txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "digit_ratio", "stopword_ratio",
+    )
+
+
+_ALL_SW = ", ".join(
+    f"'{w}'" for ws in text_analysis.STOPWORDS.values() for w in ws
+)
+
+SQL_TXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  round(CASE WHEN len(toks) > 0
+    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END, 4) AS mean_token_len,
+  round(CASE WHEN len(text) > 0
+    THEN CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / len(text)
+    ELSE 0.0 END, 4) AS punct_ratio,
+  round(CASE WHEN len(text) > 0
+    THEN CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / len(text)
+    ELSE 0.0 END, 4) AS digit_ratio,
+  round(CASE WHEN len(toks) > 0
+    THEN CAST(len(list_filter(toks, x -> list_contains([{_ALL_SW}], x))) AS DOUBLE)
+         / len(toks)
+    ELSE 0.0 END, 4) AS stopword_ratio
+FROM t
+"""
+
+
+def q_txt_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpeish_tokens"
+    )
+
+
+SQL_TXT_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  len({_TOKS_SQL}) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '{text_analysis.TOKEN_PATTERN}')) AS bpeish_tokens
+FROM documents
+"""
+
+
+def q_txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint"
+    )
+
+
+SQL_TXT_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.2, id_col="doc_id"
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+           FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+      ELSE [array_to_string(toks, ' ')] END)) AS gram
+  FROM t),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    return embeddings.cosine_topk(emb, qids, k=5)
+
+
+SQL_EMB_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rk AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored)
+WHERE rk <= 5
+"""
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embeddings.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+SQL_EMB_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+def q_mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = multimodal.synth_media_from_ids(docs, id_col="doc_id")
+    meta = multimodal.attach_media_meta(media, id_col="doc_id")
+    return meta.select(
+        "doc_id", "fmt", "dec_w", "dec_h",
+        F.round("mean_pixel", 4).alias("mean_pixel"), "ok",
+    )
+
+
+# Analytic oracle: constant-fill images make decoded metadata a pure
+# function of doc_id (lossy qstep=8 reconstructs bin midpoints).
+SQL_MM_MEDIA_META = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'jpeg' END AS fmt,
+  CAST(8 + doc_id % 9 AS INT) AS dec_w,
+  CAST(8 + doc_id % 9 AS INT) AS dec_h,
+  round(CASE WHEN doc_id % 2 = 1
+    THEN CAST((doc_id * 37) % 256 AS DOUBLE)
+    ELSE CAST(least(((doc_id * 37) % 256 // 8) * 8 + 4, 255) AS DOUBLE)
+  END, 4) AS mean_pixel,
+  TRUE AS ok
+FROM documents
+"""
+
+
+# Rows-only checks (non-SQL-expressible: seeded LSH / iterative k-means) ----
+def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arhivum_spark.config import DedupConfig
+    from arhivum_spark.operators.dedup_text import minhash_lsh_pairs
+
+    cfg = DedupConfig(min_signature_agreement=0.5)
+    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    return minhash_lsh_pairs(docs, cfg, id_col="doc_id", text_col="text").select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    return embeddings.rhp_ann_topk(emb, qids, k=5, nbits=8, n_tables=4)
+
+
+def q_emb_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = embeddings.centroid_assign(_emb(spark, sf_dir), n_iters=3, n_cells=8)
+    return cells.groupBy("cell").agg(F.count("*").alias("n")).orderBy("cell")
+
+
+# ---------------------------------------------------------------------------
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a1_dup_groups": (q_a1_dup_groups, SQL_A1),
     "w1_first_wins_flag": (q_w1_first_wins, SQL_W1),
@@ -549,4 +767,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q5_region_revenue": (q_tpch_q5ish, SQL_TPCH_Q5),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "evt_tumbling_window": (q_evt_tumbling, SQL_EVT_TUMBLING),
+    # training-data pipeline operators
+    "txt_lang_scores": (q_txt_lang_scores, SQL_TXT_LANG),
+    "txt_quality_features": (q_txt_quality, SQL_TXT_QUALITY),
+    "txt_token_counts": (q_txt_token_counts, SQL_TXT_TOKEN_COUNTS),
+    "txt_fingerprint": (q_txt_fingerprint, SQL_TXT_FINGERPRINT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "emb_knn_bruteforce": (q_emb_knn, SQL_EMB_KNN),
+    "emb_neardup_pairs": (q_emb_neardup, SQL_EMB_NEARDUP),
+    "mm_media_meta": (q_mm_media_meta, SQL_MM_MEDIA_META),
+    # rows-only (seeded LSH / iterative clustering — not SQL-expressible)
+    "docs_minhash_lsh_pairs": (q_docs_minhash_lsh, None),
+    "emb_ann_topk": (q_emb_ann_topk, None),
+    "emb_ivf_cells": (q_emb_ivf_cells, None),
 }
