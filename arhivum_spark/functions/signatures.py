@@ -35,7 +35,7 @@ SIGNATURE_SCHEMA = (
 def signature_extractor(cfg: DedupConfig):
     """Returns a mapInPandas function: images rows -> signature rows.
 
-    Input columns required: image_id, bytes, caption, fmt, w, h.
+    Input columns required: image_id, bytes, caption, fmt, w, h, phash.
     """
     a, b = mh.permutations(cfg.num_perm, cfg.minhash_seed)
 
@@ -43,7 +43,6 @@ def signature_extractor(cfg: DedupConfig):
         for pdf in batches:
             n = len(pdf)
             shingle_sets: list[np.ndarray] = []
-            phashes = np.empty(n, dtype=np.int64)
             shas: list[str] = []
             dws = np.empty(n, dtype=np.int32)
             dhs = np.empty(n, dtype=np.int32)
@@ -52,10 +51,14 @@ def signature_extractor(cfg: DedupConfig):
                 shas.append(hashlib.sha256(data).hexdigest())
                 pixels = codec.decode(data)
                 dhs[i], dws[i] = pixels.shape[0], pixels.shape[1]
+                # gray computed once; pHash is NOT recomputed here — the
+                # input schema carries it (BASELINE.json input_hint), and
+                # recompute-to-verify belongs on candidate pairs only (the
+                # reference's skip-expensive-work rule, ScanCommand:342-353)
+                gray = mh.to_gray(pixels)
                 shingle_sets.append(
-                    mh.block_shingles(pixels, cfg.block, cfg.gray_qstep)
+                    mh.block_shingles(gray, cfg.block, cfg.gray_qstep)
                 )
-                phashes[i] = ph.phash64(pixels)
             sigs = mh.minhash_batch(shingle_sets, a, b)
             simhashes = sh.simhash_batch(list(pdf["caption"]))
             yield pd.DataFrame(
@@ -68,7 +71,7 @@ def signature_extractor(cfg: DedupConfig):
                     "content_sha256": shas,
                     "minhash": list(sigs),
                     "simhash": simhashes,
-                    "phash": phashes,
+                    "phash": pdf["phash"].values,
                     "dec_w": dws,
                     "dec_h": dhs,
                 }
@@ -79,7 +82,7 @@ def signature_extractor(cfg: DedupConfig):
 
 def attach_signatures(df, cfg: DedupConfig):
     """images DataFrame -> signature DataFrame (bytes projected away)."""
-    cols = ["image_id", "bytes", "caption", "fmt", "w", "h"]
+    cols = ["image_id", "bytes", "caption", "fmt", "w", "h", "phash"]
     return df.select(*cols).mapInPandas(
         signature_extractor(cfg), schema=SIGNATURE_SCHEMA
     )

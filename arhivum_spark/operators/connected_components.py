@@ -34,8 +34,17 @@ def connected_components(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        .localCheckpoint()
     )
-    labels = vertices.select(
+    # Only vertices incident to an edge can ever change labels; isolated
+    # vertices (the vast majority in a dedup graph) are appended afterwards
+    # with component = their own id. The loop then iterates over the edge
+    # endpoint set, not the full vertex set.
+    touched = sym.select(F.col("a").alias(id_col)).distinct()
+    isolated = vertices.join(touched, id_col, "left_anti").select(
+        F.col(id_col), F.col(id_col).alias("component")
+    )
+    labels = touched.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("component")
     ).localCheckpoint()
     for _ in range(max_iters):
@@ -59,4 +68,6 @@ def connected_components(
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
-    return labels.select(F.col("v").alias(id_col), "component")
+    return labels.select(F.col("v").alias(id_col), "component").unionByName(
+        isolated
+    )

