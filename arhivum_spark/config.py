@@ -38,6 +38,10 @@ class DedupConfig:
 
     # skew handling: bands whose key frequency exceeds this get salted
     hot_band_threshold: int = 64
+    # heavy-hitter detection sample fraction (1.0 = exact full count);
+    # sampled detection skips a rows*bands-sized shuffle and only needs to
+    # catch keys hot enough to matter (see lsh.salted_candidate_edges)
+    hot_detect_sample: float = 0.01
     salt_buckets: int = 16
     max_pairs_per_band: int = 4096         # hard cap per (band,key) group
 

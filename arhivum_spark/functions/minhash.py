@@ -106,8 +106,11 @@ def minhash_batch(
     one numpy kernel per Arrow batch instead of per row.
     """
     if not shingle_sets:
-        return np.empty((0, len(a)), dtype=np.int64)
-    out = np.empty((len(shingle_sets), len(a)), dtype=np.int64)
+        return np.empty((0, len(a)), dtype=np.int32)
+    # int32 on purpose: 31-bit hash space means every signature value fits,
+    # and signature arrays ride through every shuffle/checkpoint — half the
+    # bytes of int64 end to end
+    out = np.empty((len(shingle_sets), len(a)), dtype=np.int32)
     # Process sets in small chunks so the (k, n_shingles) hash matrix and
     # its temporaries stay cache-resident: hashing a whole 256-row Arrow
     # batch at once materializes ~40 MB x several temporaries per batch —

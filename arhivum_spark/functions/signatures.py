@@ -27,7 +27,7 @@ from arhivum_spark.functions import simhash as sh
 
 SIGNATURE_SCHEMA = (
     "image_id string, caption string, fmt string, w int, h int, "
-    "content_sha256 string, minhash array<long>, simhash long, "
+    "content_sha256 string, minhash array<int>, simhash long, "
     "phash long, dec_w int, dec_h int"
 )
 

@@ -198,7 +198,7 @@ def doc_minhash(
     text_col: str = "text",
     ngram: int = 3,
 ) -> DataFrame:
-    """(id, minhash array<long>) over token n-gram shingles — Arrow-batched."""
+    """(id, minhash array<int>) over token n-gram shingles — Arrow-batched."""
     a, b = mh.permutations(cfg.num_perm, cfg.minhash_seed)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -233,7 +233,7 @@ def doc_minhash(
             yield pd.DataFrame({"id": pdf[id_col].values, "minhash": list(sigs)})
 
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
-        extract, schema=f"id {dict(df.dtypes)[id_col]}, minhash array<long>"
+        extract, schema=f"id {dict(df.dtypes)[id_col]}, minhash array<int>"
     )
 
 

@@ -14,6 +14,7 @@ oracle and the job derive identical buckets).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -224,10 +225,15 @@ def centroid_assign(
     """IVF coarse quantizer: distributed Lloyd's k-means over the embedding
     column (init = deterministic sample), returning (id, cell).
 
-    Each iteration: broadcast centroids -> assign (array intrinsics) ->
-    groupBy(cell) mean (one narrow shuffle). Centroids live on the driver
-    (n_cells x dim floats — trivially small); the data never leaves
-    executors unaggregated."""
+    Each iteration: broadcast centroids -> vectorized pandas-UDF argmin
+    assignment (one numpy matmul-free distance per Arrow batch; a
+    Column-expression argmin over k centroids x d dims compiles a huge
+    nested-when codegen tree whose per-iteration compile time dwarfs the
+    data work) -> per-cell sums via groupBy (one narrow shuffle).
+    Centroids live on the driver (n_cells x dim floats — trivially small);
+    rows never leave executors unaggregated."""
+    from pyspark.sql.functions import pandas_udf
+
     base = with_norm(df, vec_col).select(F.col(id_col).alias("_id"), "vecd")
     init = (
         base.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
@@ -236,37 +242,38 @@ def centroid_assign(
         .select("vecd")
         .collect()
     )
-    centroids = [list(r[0]) for r in init]
+    centroids = np.array([list(r[0]) for r in init], dtype=np.float64)
 
-    def assign(cents: list[list[float]]) -> Column:
-        best = None
-        for ci, c in enumerate(cents):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            d2 = F.aggregate(
-                F.zip_with("vecd", carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            cell = F.struct(d2.alias("d"), F.lit(ci).alias("c"))
-            best = cell if best is None else F.when(cell["d"] < best["d"], cell).otherwise(best)
-        return best["c"]
+    def make_assign(cents: np.ndarray):
+        c2 = (cents * cents).sum(axis=1)  # (k,)
+
+        @pandas_udf("int")
+        def assign(vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)  # (n, d)
+            # argmin ||x - c||^2 = argmin c.c - 2 x.c  (x.x constant per row);
+            # einsum keeps it BLAS-free (no nested-thread thrash in workers)
+            dots = np.einsum("nd,kd->nk", x, cents)
+            return pd.Series(np.argmin(c2[None, :] - 2 * dots, axis=1))
+
+        return assign
 
     for _ in range(n_iters):
-        assigned = base.withColumn("cell", assign(centroids))
-        means = (
+        assigned = base.withColumn("cell", make_assign(centroids)("vecd"))
+        sums = (
             assigned.groupBy("cell")
             .agg(
-                F.array(
-                    *[
-                        F.avg(F.element_at("vecd", i + 1)).alias(f"m{i}")
-                        for i in range(len(centroids[0]))
-                    ]
-                ).alias("mean")
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("vecd", i + 1)).alias(f"s{i}")
+                    for i in range(centroids.shape[1])
+                ],
             )
             .collect()
         )
-        for r in means:
-            centroids[r["cell"]] = list(r["mean"])
-    return base.withColumn("cell", assign(centroids)).select(
+        for r in sums:
+            centroids[r["cell"]] = [
+                r[f"s{i}"] / r["n"] for i in range(centroids.shape[1])
+            ]
+    return base.withColumn("cell", make_assign(centroids)("vecd")).select(
         F.col("_id").alias(id_col), "cell"
     )

@@ -37,6 +37,10 @@ def band_keys(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "image_id") -> 
 
     key = hash of the band's signature slice (plus band index so identical
     slices in different bands don't collide).
+
+    The id column that rides through the explode and both downstream
+    shuffles should be a LONG, not a string: at rows x bands scale every
+    byte of the key is shuffle traffic (see candidate_edges_compact).
     """
     r = cfg.rows_per_band
     bands_arr = F.transform(
@@ -46,6 +50,37 @@ def band_keys(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "image_id") -> 
     return sig_df.select(
         F.col(id_col).alias("image_id"),
         F.posexplode(bands_arr).alias("band", "key"),
+    )
+
+
+def candidate_edges_compact(
+    sig_df: DataFrame, cfg: DedupConfig, id_col: str = "image_id"
+) -> DataFrame:
+    """band explode -> salted star edges, with a compact long surrogate id.
+
+    The 14+-byte string ids would dominate the (rows x bands) explode and
+    both window shuffles; a long surrogate (xxhash64 of the id — collision
+    odds n^2/2^65) cuts shuffle bytes ~2x. Output edges are mapped back to
+    the original id via one broadcast-friendly dictionary join.
+    """
+    keyed = sig_df.select(
+        F.xxhash64(F.col(id_col)).alias("_iid"), F.col(id_col), "minhash"
+    )
+    iid_map = keyed.select("_iid", F.col(id_col))
+    bands = band_keys(
+        keyed.select(F.col("_iid").alias("image_id"), "minhash"), cfg
+    )
+    edges = salted_candidate_edges(bands, cfg)
+    src_map = iid_map.select(
+        F.col("_iid").alias("src"), F.col(id_col).alias("src_id")
+    )
+    dst_map = iid_map.select(
+        F.col("_iid").alias("dst"), F.col(id_col).alias("dst_id")
+    )
+    return (
+        edges.join(src_map, "src")
+        .join(dst_map, "dst")
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
     )
 
 
@@ -60,14 +95,31 @@ def salted_candidate_edges(
          hub->member edges; for hot keys an extra bucket-hub chain edge set
          links the salt buckets of the same (band, key) together.
     """
-    # pass 1: band-key frequencies via aggregate (map-side partial combine —
-    # the shuffle carries per-partition partial counts, never the raw rows
-    # of a hot key; a window count over (band,key) would funnel a whole hot
-    # band into one partition, recreating the skew this stage exists to kill)
-    counts = bands.groupBy("band", "key").agg(F.count("*").alias("cnt"))
-    hot = counts.filter(F.col("cnt") > cfg.hot_band_threshold).select(
-        "band", "key", F.lit(True).alias("is_hot")
-    )
+    # pass 1: hot-band detection on a SAMPLE. Band keys are mostly unique
+    # (near-dup pairs are rare), so a full groupBy(band,key) count shuffles
+    # nearly all rows x bands — a 19M-row shuffle at 600k images just to
+    # find a handful of heavy hitters. A 1% sample finds every key above
+    # ~100x the per-row sample odds; moderately-populated keys that slip
+    # through are harmless (a few hundred rows in one window partition),
+    # and salting a falsely-flagged key is also harmless (the hub chain
+    # reconnects its buckets). A window count over raw (band,key) would
+    # funnel a whole hot band into one partition — never do that.
+    frac = cfg.hot_detect_sample
+    if frac < 1.0:
+        sample_threshold = max(3.0, cfg.hot_band_threshold * frac)
+        counts = (
+            bands.sample(fraction=frac, seed=cfg.minhash_seed)
+            .groupBy("band", "key")
+            .agg(F.count("*").alias("cnt"))
+        )
+        hot = counts.filter(F.col("cnt") >= sample_threshold).select(
+            "band", "key", F.lit(True).alias("is_hot")
+        )
+    else:
+        counts = bands.groupBy("band", "key").agg(F.count("*").alias("cnt"))
+        hot = counts.filter(F.col("cnt") > cfg.hot_band_threshold).select(
+            "band", "key", F.lit(True).alias("is_hot")
+        )
     # pass 2: salt hot keys; localCheckpoint so edges + hub chain reuse one
     # materialization instead of re-deriving the band explode three times
     salted = (

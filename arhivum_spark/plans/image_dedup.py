@@ -29,7 +29,7 @@ from arhivum_spark.config import DedupConfig
 from arhivum_spark.functions.signatures import attach_signatures
 from arhivum_spark.operators import dedup_exact
 from arhivum_spark.operators.connected_components import connected_components
-from arhivum_spark.operators.lsh import band_keys, salted_candidate_edges, verify_edges
+from arhivum_spark.operators.lsh import candidate_edges_compact, verify_edges
 from arhivum_spark.sources.checkpoints import StageStore
 
 
@@ -56,32 +56,33 @@ def run_pipeline(
     def candidate_stage() -> DataFrame:
         reps = exact.filter(~F.col("is_duplicate")).select("image_id")
         rep_sigs = sigs.join(reps, "image_id", "left_semi")
-        bands = band_keys(rep_sigs, cfg)
-        cand = salted_candidate_edges(bands, cfg)
+        cand = candidate_edges_compact(rep_sigs, cfg)
         return verify_edges(cand, rep_sigs, cfg)
     near_edges = store.read_or_compute("s3_candidates", candidate_stage)
 
     def cluster_stage() -> DataFrame:
-        # exact-dup edges: every duplicate row -> its byte-identical representative
-        exact_edges = (
-            exact.filter(F.col("is_duplicate"))
-            .select(
-                F.col("representative_id").alias("src"),
-                F.col("image_id").alias("dst"),
-            )
+        # CC runs over near-dup edges between exact-representatives ONLY:
+        # byte-identical duplicates inherit their representative's component
+        # through one join afterwards — they never enter label propagation
+        # (at 10^12 rows the exact-dup star edges would dominate the CC
+        # graph while carrying zero connectivity information).
+        edges = near_edges.select("src", "dst").distinct()
+        reps = exact.filter(~F.col("is_duplicate")).select(
+            F.col("image_id").alias("id")
         )
-        edges = exact_edges.unionByName(
-            near_edges.select("src", "dst")
-        ).distinct()
-        vertices = exact.select(F.col("image_id").alias("id"))
         comp = connected_components(
-            vertices, edges, max_iters=cfg.cc_max_iters, id_col="id"
+            reps, edges, max_iters=cfg.cc_max_iters, id_col="id"
         )
+        # every row -> its exact-representative's component
+        rows = exact.select("image_id", F.col("representative_id").alias("_rep"))
+        labeled = rows.join(
+            comp.select(F.col("id").alias("_rep"), "component"), "_rep"
+        ).drop("_rep")
         # representative election (W2/J5): lossless copies first, then id asc
-        members = comp.join(
-            sigs.select("image_id", "fmt", "content_sha256"),
-            comp.id == F.col("image_id"),
-        ).drop("id")
+        members = labeled.join(
+            sigs.select(F.col("image_id").alias("_sid"), "fmt", "content_sha256"),
+            F.col("image_id") == F.col("_sid"),
+        ).drop("_sid")
         w = Window.partitionBy("component").orderBy(
             F.when(F.col("fmt") == "png", 0).otherwise(1).asc(),
             F.col("image_id").asc(),

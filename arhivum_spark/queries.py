@@ -795,6 +795,94 @@ FROM part GROUP BY p_brand
 """
 
 
+# P4 — system-dir / glob exclusion predicates (FileWalkerService.java:124-147)
+_SYSTEM_DIRS = (".Trash", "$RECYCLE.BIN", "System Volume Information", ".git")
+
+
+def q_p4_exclusions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext_arr = F.array(
+        *[F.lit(e) for e in ["tmp", "log", "txt", "jpg", "png", "bak"]]
+    )
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 17 == 0, F.lit(".Trash/")).otherwise(F.lit("data/")),
+            F.lit("f"), F.col("doc_id").cast("string"), F.lit("."),
+            F.element_at(ext_arr, (F.col("doc_id") % 6 + 1).cast("int")),
+        ).alias("path"),
+    )
+    kept = df.filter(
+        ~F.col("path").rlike("^(\\.Trash|\\$RECYCLE\\.BIN)/")  # system dirs
+        & ~F.col("path").rlike("\\.(tmp|bak)$")  # glob excludes *.tmp, *.bak
+    )
+    return kept.select("doc_id", "path")
+
+
+SQL_P4 = """
+WITH d AS (
+  SELECT doc_id,
+         concat(CASE WHEN doc_id % 17 = 0 THEN '.Trash/' ELSE 'data/' END,
+                'f', CAST(doc_id AS VARCHAR), '.',
+                ['tmp','log','txt','jpg','png','bak'][CAST(doc_id % 6 + 1 AS INT)]
+         ) AS path
+  FROM documents)
+SELECT doc_id, path FROM d
+WHERE NOT regexp_matches(path, '^(\\.Trash|\\$RECYCLE\\.BIN)/')
+  AND NOT regexp_matches(path, '\\.(tmp|bak)$')
+"""
+
+
+# A4 — implemented similarity estimate: same hash => 100, else
+# min(files)/max(files)*100 (CodeProjectDuplicateDetectionService.java:207-250)
+def q_a4_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    proj = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.md5((F.col("s_suppkey") % 30).cast("string")).alias("content_hash"),
+        (F.col("s_suppkey") % 37 + 5).alias("n_files"),
+    )
+    a = proj.select(
+        F.col("id").alias("id_a"),
+        F.col("content_hash").alias("h_a"),
+        F.col("n_files").alias("f_a"),
+    )
+    b = proj.select(
+        F.col("id").alias("id_b"),
+        F.col("content_hash").alias("h_b"),
+        F.col("n_files").alias("f_b"),
+    )
+    return (
+        a.join(b, a.id_a < b.id_b)
+        .withColumn(
+            "similarity",
+            F.round(
+                F.when(F.col("h_a") == F.col("h_b"), F.lit(100.0)).otherwise(
+                    F.least("f_a", "f_b") / F.greatest("f_a", "f_b") * 100.0
+                ),
+                2,
+            ),
+        )
+        .filter(F.col("similarity") >= 90.0)
+        .select("id_a", "id_b", "similarity")
+    )
+
+
+SQL_A4 = """
+WITH proj AS (
+  SELECT s_suppkey AS id,
+         md5(CAST(s_suppkey % 30 AS VARCHAR)) AS content_hash,
+         s_suppkey % 37 + 5 AS n_files
+  FROM supplier)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CASE WHEN a.content_hash = b.content_hash THEN 100.0
+             ELSE least(a.n_files, b.n_files) * 100.0
+                  / greatest(a.n_files, b.n_files) END, 2) AS similarity
+FROM proj a JOIN proj b ON a.id < b.id
+WHERE CASE WHEN a.content_hash = b.content_hash THEN 100.0
+      ELSE least(a.n_files, b.n_files) * 100.0
+           / greatest(a.n_files, b.n_files) END >= 90.0
+"""
+
+
 # J3 — disjunctive candidate join -> connected components (the distributed
 # form of detectAllDuplicates' O(n^2) scan + greedy transitive grouping,
 # CodeProjectDuplicateDetectionService.java:48-95). Oracle: recursive-CTE
@@ -922,6 +1010,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f_scalar_functions": (q_scalar_functions, SQL_SCALARS),
     "a6_duptype_classification": (q_a6_duptype, SQL_A6),
     "j3_union_join_cc": (q_j3_union_join_cc, SQL_J3),
+    "p4_exclusion_predicates": (q_p4_exclusions, SQL_P4),
+    "a4_similarity_estimate": (q_a4_similarity_estimate, SQL_A4),
     # rows-only (seeded LSH / iterative clustering — not SQL-expressible)
     "docs_minhash_lsh_pairs": (q_docs_minhash_lsh, None),
     "emb_ann_topk": (q_emb_ann_topk, None),
