@@ -64,7 +64,7 @@ SQL_A1 = f"""
 SELECT {_DOC_HASH_SQL} AS content_hash,
        count(*) AS n_files,
        min(doc_id) AS kept_id,
-       sum(n_chars) - min(n_chars) AS wasted_size
+       CAST(sum(n_chars) - min(n_chars) AS BIGINT) AS wasted_size
 FROM documents
 GROUP BY 1
 HAVING count(*) > 1
@@ -230,7 +230,7 @@ def q_a7_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_A7 = """
-SELECT source, count(*) AS n_files, sum(n_chars) AS total_size
+SELECT source, count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS total_size
 FROM documents GROUP BY source
 """
 
@@ -268,12 +268,14 @@ def q_a9_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_A9 = """
-SELECT 'src' AS folder, count(*) AS file_count, sum(n_chars) AS total_size
+SELECT 'src' AS folder, count(*) AS file_count,
+       CAST(sum(n_chars) AS BIGINT) AS total_size
 FROM documents
 UNION ALL
-SELECT concat('src/', source), count(*), sum(n_chars) FROM documents GROUP BY source
+SELECT concat('src/', source), count(*), CAST(sum(n_chars) AS BIGINT)
+FROM documents GROUP BY source
 UNION ALL
-SELECT concat('src/', source, '/', lang), count(*), sum(n_chars)
+SELECT concat('src/', source, '/', lang), count(*), CAST(sum(n_chars) AS BIGINT)
 FROM documents GROUP BY source, lang
 """
 
@@ -501,7 +503,7 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id,
-       max(sess_no) AS n_sessions,
+       CAST(max(sess_no) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM (
   SELECT user_id,

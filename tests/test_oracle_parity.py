@@ -31,26 +31,37 @@ def _duck():
     return con
 
 
-def _normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _normalize(pdf):
+    """Normalize a pandas frame the way the driver's value-hash sees it.
+
+    Crucially, this is DTYPE-SENSITIVE: a DuckDB HUGEINT sum() surfaces in
+    pandas as object/float where Spark's BIGINT stays int64 — the driver's
+    hash distinguishes them, so this test must too (round-1 lesson: the old
+    int(v) coercion passed here while the driver failed 5 queries).
+    """
+    pdf = pdf.rename(columns=str.lower)
+    pdf = pdf[sorted(pdf.columns)]
     out = []
-    for row in rows:
+    for row in pdf.itertuples(index=False):
         vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, bool):
-                v = bool(v)
-            elif isinstance(v, float):
-                v = round(v, 6)
+        for v in row:
+            if isinstance(v, bool) or type(v).__name__ == "bool_":
+                vals.append(("b", bool(v)))
+            elif isinstance(v, float) or type(v).__name__ in (
+                "float32", "float64"
+            ):
+                v = round(float(v), 6)
                 if v == -0.0:
                     v = 0.0
-                if math.isnan(v):
-                    v = "nan"
-            elif isinstance(v, int):
-                v = int(v)
+                vals.append(("f", "nan" if math.isnan(v) else v))
+            elif isinstance(v, int) or type(v).__name__ in (
+                "int8", "int16", "int32", "int64", "uint64"
+            ):
+                vals.append(("i", int(v)))
             else:
-                v = str(v)
-            vals.append(v)
+                # Decimal / object / str — keep the type tag so a HUGEINT
+                # that pandas renders as Decimal/object mismatches int64.
+                vals.append((type(v).__name__, str(v)))
         out.append(tuple(vals))
     out.sort(key=repr)
     return out
@@ -62,20 +73,17 @@ def _normalize(rows, cols):
 def test_query_matches_oracle(spark, name):
     fn, sql = REGISTRY[name]
     sdf = fn(spark, SF_ORACLE_DIR)
-    spark_cols = [c.lower() for c in sdf.columns]
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
 
     con = _duck()
-    res = con.execute(sql)
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = con.execute(sql).df()
     con.close()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
-    )
-    a = _normalize(spark_rows, spark_cols)
-    b = _normalize(duck_rows, duck_cols)
+    assert sorted(c.lower() for c in spark_pdf.columns) == sorted(
+        c.lower() for c in duck_pdf.columns
+    ), f"{name}: column mismatch {list(spark_pdf.columns)} vs {list(duck_pdf.columns)}"
+    a = _normalize(spark_pdf)
+    b = _normalize(duck_pdf)
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
     assert not mism, (
