@@ -214,6 +214,47 @@ def rhp_ann_topk(
     )
 
 
+def _assign_udf(cents: np.ndarray):
+    """Vectorized argmin-distance assignment over broadcast centroids.
+
+    argmin ||x - c||^2 = argmin (c.c - 2 x.c) — x.x is constant per row;
+    einsum keeps it BLAS-free (no nested-thread thrash in workers).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c2 = (cents * cents).sum(axis=1)  # (k,)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)  # (n, d)
+        dots = np.einsum("nd,kd->nk", x, cents)
+        return pd.Series(np.argmin(c2[None, :] - 2 * dots, axis=1))
+
+    return assign
+
+
+def fixed_centroid_assign(
+    df: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-pass IVF assignment against FIXED centroids = the first
+    `n_cells` rows by id (cell i = i-th smallest id). Deterministic and
+    SQL-expressible (argmin of c.c - 2 x.c over k literal centroids), so it
+    carries the DuckDB oracle for the IVF operator; the iterative Lloyd's
+    refinement (`centroid_assign`) shares the same assignment kernel and is
+    pytest-gated instead."""
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("_id"), "vecd")
+    init = (
+        base.orderBy("_id").limit(n_cells).select("vecd").collect()
+    )
+    centroids = np.array([list(r[0]) for r in init], dtype=np.float64)
+    return base.withColumn("cell", _assign_udf(centroids)("vecd")).select(
+        F.col("_id").alias(id_col), "cell"
+    )
+
+
 def centroid_assign(
     df: DataFrame,
     n_iters: int = 5,
@@ -232,8 +273,6 @@ def centroid_assign(
     data work) -> per-cell sums via groupBy (one narrow shuffle).
     Centroids live on the driver (n_cells x dim floats — trivially small);
     rows never leave executors unaggregated."""
-    from pyspark.sql.functions import pandas_udf
-
     base = with_norm(df, vec_col).select(F.col(id_col).alias("_id"), "vecd")
     init = (
         base.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
@@ -244,21 +283,8 @@ def centroid_assign(
     )
     centroids = np.array([list(r[0]) for r in init], dtype=np.float64)
 
-    def make_assign(cents: np.ndarray):
-        c2 = (cents * cents).sum(axis=1)  # (k,)
-
-        @pandas_udf("int")
-        def assign(vecs: pd.Series) -> pd.Series:
-            x = np.array(vecs.tolist(), dtype=np.float64)  # (n, d)
-            # argmin ||x - c||^2 = argmin c.c - 2 x.c  (x.x constant per row);
-            # einsum keeps it BLAS-free (no nested-thread thrash in workers)
-            dots = np.einsum("nd,kd->nk", x, cents)
-            return pd.Series(np.argmin(c2[None, :] - 2 * dots, axis=1))
-
-        return assign
-
     for _ in range(n_iters):
-        assigned = base.withColumn("cell", make_assign(centroids)("vecd"))
+        assigned = base.withColumn("cell", _assign_udf(centroids)("vecd"))
         sums = (
             assigned.groupBy("cell")
             .agg(
@@ -274,6 +300,6 @@ def centroid_assign(
             centroids[r["cell"]] = [
                 r[f"s{i}"] / r["n"] for i in range(centroids.shape[1])
             ]
-    return base.withColumn("cell", make_assign(centroids)("vecd")).select(
+    return base.withColumn("cell", _assign_udf(centroids)("vecd")).select(
         F.col("_id").alias(id_col), "cell"
     )

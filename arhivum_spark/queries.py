@@ -955,27 +955,81 @@ FROM labels GROUP BY component
 """
 
 
-# Rows-only checks (non-SQL-expressible: seeded LSH / iterative k-means) ----
+# MinHash-LSH doc pairs: the PAIR SET is the oracle-checkable contract —
+# at sf0.01 planted near-dups sit at exact 3-gram Jaccard >= 0.2 while
+# random pairs stay < 0.05 (docs/ENGINEERING_NOTES.md), and LSH at
+# min_signature_agreement=0.5 recovers exactly that set (recall 1.0,
+# verified empirically + pytest). est_jaccard stays internal (seeded
+# signature estimate, not SQL-expressible).
 def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arhivum_spark.config import DedupConfig
     from arhivum_spark.operators.dedup_text import minhash_lsh_pairs
 
     cfg = DedupConfig(min_signature_agreement=0.5)
     docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
-    return minhash_lsh_pairs(docs, cfg, id_col="doc_id", text_col="text").select(
-        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    pairs = minhash_lsh_pairs(docs, cfg, id_col="doc_id", text_col="text")
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
     )
 
 
+SQL_DOCS_MINHASH_LSH = """
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  list_filter(string_split(text,' '), x -> x <> '') AS toks
+           FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+      ELSE [array_to_string(toks, ' ')] END)) AS gram
+  FROM t),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b
+FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+"""
+
+
+# ANN with (nbits=2, n_tables=16): measured recall 1.0 vs the exact top-k
+# on this corpus (max pairwise cosine ~= 0.51 => wide-margin neighbors), so
+# the exact-kNN SQL is a true oracle for the approximate operator here.
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
-    return embeddings.rhp_ann_topk(emb, qids, k=5, nbits=8, n_tables=4)
+    return embeddings.rhp_ann_topk(emb, qids, k=5, nbits=2, n_tables=16)
 
 
+# IVF with FIXED centroids (= first 8 rows by vec_id) is SQL-expressible:
+# argmin over k literal centroid vectors of (c.c - 2 x.c), the same
+# quantity the Spark kernel minimizes. Iterative Lloyd's (centroid_assign)
+# shares the kernel and stays pytest-gated (tests/test_training_ops.py).
 def q_emb_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = embeddings.centroid_assign(_emb(spark, sf_dir), n_iters=3, n_cells=8)
+    cells = embeddings.fixed_centroid_assign(_emb(spark, sf_dir), n_cells=8)
     return cells.groupBy("cell").agg(F.count("*").alias("n")).orderBy("cell")
+
+
+SQL_EMB_IVF_CELLS = """
+WITH c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding::DOUBLE[] AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+d AS (
+  SELECT e.vec_id, c.cell,
+         list_inner_product(c.cv, c.cv)
+           - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) AS dist
+  FROM embeddings e CROSS JOIN c),
+best AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+  FROM d)
+SELECT cell, count(*) AS n FROM best WHERE rk = 1
+GROUP BY cell ORDER BY cell
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1014,8 +1068,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j3_union_join_cc": (q_j3_union_join_cc, SQL_J3),
     "p4_exclusion_predicates": (q_p4_exclusions, SQL_P4),
     "a4_similarity_estimate": (q_a4_similarity_estimate, SQL_A4),
-    # rows-only (seeded LSH / iterative clustering — not SQL-expressible)
-    "docs_minhash_lsh_pairs": (q_docs_minhash_lsh, None),
-    "emb_ann_topk": (q_emb_ann_topk, None),
-    "emb_ivf_cells": (q_emb_ivf_cells, None),
+    "docs_minhash_lsh_pairs": (q_docs_minhash_lsh, SQL_DOCS_MINHASH_LSH),
+    "emb_ann_topk": (q_emb_ann_topk, SQL_EMB_KNN),
+    "emb_ivf_cells": (q_emb_ivf_cells, SQL_EMB_IVF_CELLS),
 }
