@@ -74,6 +74,61 @@ def header(data: bytes) -> tuple[str, int, int]:
     return fmt, w, h
 
 
+# ---------------------------------------------------------------------------
+# EXIF-like metadata trailer (deterministic stand-in for a real EXIF APP1
+# segment). A real image's EXIF lives inside the container; here it is an
+# optional trailer after the pixel payload: MAGIC_EXIF + u32 length + a
+# length-prefixed UTF-8 field block. parse order and field semantics mirror
+# the reference extractor (archivum-scanner ExifExtractor.java:32-72, DTO
+# archivum-api dto/ExifMetadata.java:24-64): absent trailer -> None, exactly
+# like the reference returning null when no EXIF directories exist.
+
+MAGIC_EXIF = b"EXF0"
+_EXIF_FIELDS = (
+    "camera_make", "camera_model", "datetime_original", "width", "height",
+    "orientation", "gps_lat", "gps_lon", "gps_alt", "lens_model",
+    "focal_length", "aperture", "shutter_speed", "iso", "flash_raw",
+)
+
+
+def encode_exif_trailer(fields: dict) -> bytes:
+    """Serialize an EXIF field dict as a trailer segment. Values may be
+    str/int/float/None; None fields are omitted (EXIF tags are optional)."""
+    parts = []
+    for k in _EXIF_FIELDS:
+        v = fields.get(k)
+        if v is None:
+            continue
+        kv = f"{k}={v!r}".encode() if isinstance(v, str) else f"{k}={v}".encode()
+        parts.append(struct.pack("<H", len(kv)) + kv)
+    body = b"".join(parts)
+    return MAGIC_EXIF + struct.pack("<I", len(body)) + body
+
+
+def parse_exif_trailer(data: bytes) -> dict | None:
+    """Find + parse the EXIF trailer; None when absent (reference contract:
+    ExifExtractor returns null for EXIF-less files)."""
+    pos = data.rfind(MAGIC_EXIF)
+    if pos < 0:
+        return None
+    (blen,) = struct.unpack_from("<I", data, pos + 4)
+    body = data[pos + 8 : pos + 8 + blen]
+    out: dict = {}
+    off = 0
+    while off < len(body):
+        (n,) = struct.unpack_from("<H", body, off)
+        kv = body[off + 2 : off + 2 + n].decode()
+        off += 2 + n
+        k, _, raw = kv.partition("=")
+        if raw.startswith("'"):
+            out[k] = raw[1:-1]
+        elif "." in raw:
+            out[k] = float(raw)
+        else:
+            out[k] = int(raw)
+    return out
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     diff = a.astype(np.float64) - b.astype(np.float64)

@@ -77,6 +77,67 @@ def base_identifier(ident_col: str | Column) -> Column:
     return F.when(n_sep >= 2, F.substring_index(c, ":", 2)).otherwise(c)
 
 
+# F5 — MIME detection: magic-byte sniff first, extension fallback, then
+# application/octet-stream (MetadataService.java:115-123 probeContentType
+# contract). Pure Column exprs over hex(prefix) — codegen, no UDF.
+MAGIC_MIME = (
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("504B0304", "application/zip"),
+    ("1F8B", "application/gzip"),
+    ("424D", "image/bmp"),
+    ("4152564C", "image/x-arv"),  # ARVL (arhivum_spark/codec.py)
+    ("41525659", "image/x-arv"),  # ARVY
+)
+
+EXT_MIME = {
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "pdf": "application/pdf", "zip": "application/zip",
+    "gz": "application/gzip", "txt": "text/plain", "csv": "text/csv",
+    "html": "text/html", "json": "application/json", "mp4": "video/mp4",
+}
+
+OCTET_STREAM = "application/octet-stream"
+
+
+def sniff_mime(bytes_col: str | Column, ext_col: str | Column | None = None) -> Column:
+    """Magic-byte MIME sniff with optional extension fallback."""
+    b = bytes_col if isinstance(bytes_col, Column) else F.col(bytes_col)
+    hx = F.hex(F.substring(b, 1, 8))
+    if ext_col is None:
+        fallback = F.lit(OCTET_STREAM)
+    else:
+        e = F.lower(ext_col if isinstance(ext_col, Column) else F.col(ext_col))
+        fallback = None
+        for ext, mime in EXT_MIME.items():
+            cond = e == ext
+            fallback = (
+                F.when(cond, F.lit(mime))
+                if fallback is None
+                else fallback.when(cond, F.lit(mime))
+            )
+        fallback = fallback.otherwise(F.lit(OCTET_STREAM))
+    expr = None
+    for prefix, mime in MAGIC_MIME:
+        cond = hx.startswith(prefix)
+        expr = (
+            F.when(cond, F.lit(mime))
+            if expr is None
+            else expr.when(cond, F.lit(mime))
+        )
+    return expr.otherwise(fallback)
+
+
+def verify_hash(content_col: str | Column, expected_col: str | Column) -> Column:
+    """F2: recompute sha256 and compare case-insensitively
+    (HashService.java:151-154 verifyHash)."""
+    c = content_col if isinstance(content_col, Column) else F.col(content_col)
+    e = expected_col if isinstance(expected_col, Column) else F.col(expected_col)
+    return F.sha2(c, 256) == F.lower(e)
+
+
 def deterministic_uuid(s: str | Column) -> Column:
     """F12: md5-hex formatted as 8-4-4-4-12 UUID (stable across runs —
     the manual-project id scheme of CodeProjectService.java:244-245)."""

@@ -83,6 +83,84 @@ def attach_media_meta(
     return df.select(id_col, bytes_col, fmt_col).mapInPandas(extract, schema=schema)
 
 
+EXIF_STRUCT_SCHEMA = (
+    "struct<camera_make:string, camera_model:string,"
+    " datetime_original:string, width:int, height:int, orientation:int,"
+    " gps:struct<latitude:double, longitude:double, altitude:double>,"
+    " lens_model:string, focal_length:double, aperture:double,"
+    " shutter_speed:string, iso:int, flash:boolean>"
+)
+
+
+def extract_exif(
+    df: DataFrame, bytes_col: str = "bytes", id_col: str = "image_id"
+) -> DataFrame:
+    """F6: bytes -> typed EXIF struct column (null when the image has no
+    EXIF), via an Arrow-batched struct-returning mapInPandas.
+
+    Field semantics mirror the reference extractor exactly
+    (archivum-scanner/.../service/ExifExtractor.java:32-72):
+    - absent metadata -> null struct (extractExif returns null);
+    - gps is itself a nested struct, null when lat+lon+alt are all absent
+      (ExifExtractor.java:100-122 / dto/GpsCoordinates.java);
+    - flash is bit 0x1 of the raw flash tag (ExifExtractor.java:151-155);
+    - datetime_original is emitted as a formatted string (driver-hash rule:
+      no raw timestamps), shaped like dto/ExifMetadata.java:24-64.
+    """
+    from datetime import datetime, timezone
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, exif {EXIF_STRUCT_SCHEMA}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, structs = [], []
+            for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(rid)
+                t = codec.parse_exif_trailer(bytes(raw))
+                if t is None:
+                    structs.append(None)
+                    continue
+                lat, lon, alt = (
+                    t.get("gps_lat"), t.get("gps_lon"), t.get("gps_alt")
+                )
+                gps = (
+                    None
+                    if lat is None and lon is None and alt is None
+                    else {"latitude": lat, "longitude": lon, "altitude": alt}
+                )
+                flash_raw = t.get("flash_raw")
+                dt = t.get("datetime_original")
+                structs.append(
+                    {
+                        "camera_make": t.get("camera_make"),
+                        "camera_model": t.get("camera_model"),
+                        "datetime_original": (
+                            None
+                            if dt is None
+                            else datetime.fromtimestamp(
+                                int(dt), tz=timezone.utc
+                            ).strftime("%Y-%m-%d %H:%M:%S")
+                        ),
+                        "width": t.get("width"),
+                        "height": t.get("height"),
+                        "orientation": t.get("orientation"),
+                        "gps": gps,
+                        "lens_model": t.get("lens_model"),
+                        "focal_length": t.get("focal_length"),
+                        "aperture": t.get("aperture"),
+                        "shutter_speed": t.get("shutter_speed"),
+                        "iso": t.get("iso"),
+                        "flash": (
+                            None if flash_raw is None else (flash_raw & 0x1) != 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame({id_col: ids, "exif": structs})
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=schema)
+
+
 def resize_images(
     df: DataFrame, out_hw: int, bytes_col: str = "bytes",
     id_col: str = "image_id",
@@ -142,13 +220,49 @@ def sample_frames(
     return df.select(id_col, bytes_col).mapInPandas(sample, schema=schema)
 
 
+def exif_fields_for_id(i: int) -> dict | None:
+    """Deterministic EXIF field dict for synthetic image id `i` — every
+    field a pure function of the id so the DuckDB oracle predicts the full
+    struct analytically. i % 5 == 4 -> no EXIF at all; GPS only when
+    i % 3 == 0; model/lens dropped on some rows so per-field nulls are
+    exercised too."""
+    if i % 5 == 4:
+        return None
+    fields: dict = {
+        "camera_make": ["Canon", "Nikon", "Apple", "Sony"][i % 4],
+        "datetime_original": 1577836800 + i * 3600,
+        "width": 8 + i % 9,
+        "height": 8 + i % 9,
+        "orientation": 1 + i % 8,
+        "focal_length": 18.0 + (i % 20) * 5.0,
+        "aperture": 1.0 + (i % 8) * 0.5,
+        "shutter_speed": f"1/{2 ** (i % 10)}",
+        "iso": 100 * (1 + i % 32),
+        "flash_raw": i % 9,
+    }
+    if i % 7 != 6:
+        fields["camera_model"] = f"M{i % 7}"
+    if i % 11 != 10:
+        fields["lens_model"] = f"L{i % 5}"
+    if i % 3 == 0:
+        fields["gps_lat"] = float(i % 180) - 90.0 + 0.25
+        fields["gps_lon"] = float(i % 360) - 180.0 + 0.5
+        fields["gps_alt"] = (i % 1000) / 10.0
+    return fields
+
+
 def synth_media_from_ids(
-    df: DataFrame, id_col: str = "doc_id", hw_mod: int = 9, fill_mult: int = 37
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hw_mod: int = 9,
+    fill_mult: int = 37,
+    with_exif: bool = False,
 ) -> DataFrame:
     """Deterministic media column derived from an id column — constant-fill
     images whose dims/fill are pure functions of the id, so an analytic SQL
     oracle can predict the decoded metadata end-to-end (the multimodal
-    plumbing correctness gate in the driver harness)."""
+    plumbing correctness gate in the driver harness). with_exif appends the
+    deterministic EXIF trailer from exif_fields_for_id."""
 
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, bytes binary, fmt string"
@@ -167,6 +281,10 @@ def synth_media_from_ids(
                     if fmt == "png"
                     else codec.encode_lossy(px, 8)
                 )
+                if with_exif:
+                    exif = exif_fields_for_id(i)
+                    if exif is not None:
+                        data += codec.encode_exif_trailer(exif)
                 rows.append((rid, data, fmt))
             yield pd.DataFrame(rows, columns=[id_col, "bytes", "fmt"])
 

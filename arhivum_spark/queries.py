@@ -322,6 +322,78 @@ LEFT JOIN z z2 ON z2.folder_path = p.p2
 """
 
 
+# P6 — zone-gated dedup eligibility: resolve zones (J4), keep only rows in
+# dedup-participating zones (docs/shared/DEDUPLICATION.md:13-21).
+def q_p6_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "path",
+        F.concat_ws(
+            "/", F.lit("src"), F.col("source"), F.col("lang"),
+            F.concat(F.lit("doc-"), F.col("doc_id")),
+        ),
+    )
+    zone_table = spark.createDataFrame(_ZONE_ROWS, ["folder_path", "zone"])
+    resolved = zones.resolve_zones(df, zone_table, "path")
+    return zones.dedup_eligible(resolved).select("doc_id", "zone")
+
+
+SQL_P6 = f"""
+SELECT doc_id, zone FROM ({SQL_J4})
+WHERE zone IN ('MEDIA', 'DOCUMENTS', 'BOOKS', 'SOFTWARE_LIB')
+"""
+
+
+# F2/F5 — hash verify (HashService.java:151-154, case-insensitive) + MIME
+# magic-byte sniff with extension fallback (MetadataService.java:115-123).
+# Stored hashes are sha256(text) (uppercased on doc_id%3==0 rows to
+# exercise equalsIgnoreCase), corrupted on doc_id%10==0 rows; blobs carry
+# real magic bytes except doc_id%7==0 rows, which fall back to extension.
+_MAGIC_HEX = ["89504E47", "FFD8FFE0", "47494638", "25504446", "504B0304", "1F8B0800"]
+_FALLBACK_EXTS = ["txt", "csv", "html", "json", "xyz"]
+
+
+def q_f2_f5_hash_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arhivum_spark.functions import scalars
+
+    d = F.col("doc_id")
+    sha = F.sha2(F.col("text"), 256)
+    magic_arr = F.array(*[F.unhex(F.lit(h)) for h in _MAGIC_HEX])
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.when(d % 10 == 0, F.lit("DEADBEEF" * 8))
+        .when(d % 3 == 0, F.upper(sha))
+        .otherwise(sha)
+        .alias("stored_hash"),
+        F.when(d % 7 == 0, F.unhex(F.lit("00112233")))
+        .otherwise(F.element_at(magic_arr, (d % 6 + 1).cast("int")))
+        .alias("blob"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _FALLBACK_EXTS]),
+            (d % 5 + 1).cast("int"),
+        ).alias("ext"),
+    )
+    return df.select(
+        "doc_id",
+        scalars.verify_hash("text", "stored_hash").alias("hash_ok"),
+        scalars.sniff_mime("blob", "ext").alias("mime"),
+    )
+
+
+SQL_F2_F5 = """
+SELECT doc_id,
+  doc_id % 10 <> 0 AS hash_ok,
+  CASE WHEN doc_id % 7 = 0 THEN
+    ['text/plain','text/csv','text/html','application/json',
+     'application/octet-stream'][CAST(doc_id % 5 + 1 AS INT)]
+  ELSE
+    ['image/png','image/jpeg','image/gif','application/pdf',
+     'application/zip','application/gzip'][CAST(doc_id % 6 + 1 AS INT)]
+  END AS mime
+FROM documents
+"""
+
+
 # O6 — top-k duplicate groups by wasted size (docs/server/DATABASE.md:224)
 def q_o6_top_wasted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -724,6 +796,79 @@ FROM documents
 """
 
 
+# F6 — EXIF extraction to a typed struct (ExifExtractor.java:32-72, DTO
+# dto/ExifMetadata.java:24-64). The operator returns a nested struct (gps
+# sub-struct, null when absent); the registry query flattens it to scalar
+# columns so the driver's value-hash can compare against the analytic
+# oracle (every field is a pure function of doc_id via exif_fields_for_id).
+def q_f6_exif_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = multimodal.synth_media_from_ids(docs, id_col="doc_id", with_exif=True)
+    ex = multimodal.extract_exif(media, id_col="doc_id")
+    return ex.select(
+        "doc_id",
+        F.col("exif").isNotNull().alias("has_exif"),
+        F.col("exif.camera_make").alias("camera_make"),
+        F.col("exif.camera_model").alias("camera_model"),
+        F.col("exif.datetime_original").alias("datetime_original"),
+        F.col("exif.width").alias("width"),
+        F.col("exif.height").alias("height"),
+        F.col("exif.orientation").alias("orientation"),
+        F.col("exif.gps.latitude").alias("gps_lat"),
+        F.col("exif.gps.longitude").alias("gps_lon"),
+        F.col("exif.gps.altitude").alias("gps_alt"),
+        F.col("exif.lens_model").alias("lens_model"),
+        F.col("exif.focal_length").alias("focal_length"),
+        F.col("exif.aperture").alias("aperture"),
+        F.col("exif.shutter_speed").alias("shutter_speed"),
+        F.col("exif.iso").alias("iso"),
+        # nullable boolean -> string: pandas renders bool-with-null columns
+        # differently per engine (None vs NaN), which a value-hash would
+        # spuriously distinguish; string nulls round-trip identically.
+        F.col("exif.flash").cast("string").alias("flash"),
+    )
+
+
+SQL_F6_EXIF = """
+SELECT doc_id,
+  doc_id % 5 <> 4 AS has_exif,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE ['Canon','Nikon','Apple','Sony'][CAST(doc_id % 4 + 1 AS INT)]
+  END AS camera_make,
+  CASE WHEN doc_id % 5 = 4 OR doc_id % 7 = 6 THEN NULL
+       ELSE concat('M', CAST(doc_id % 7 AS VARCHAR)) END AS camera_model,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE strftime(epoch_ms((1577836800 + doc_id * 3600) * 1000),
+                     '%Y-%m-%d %H:%M:%S') END AS datetime_original,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST(8 + doc_id % 9 AS INT) END AS width,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST(8 + doc_id % 9 AS INT) END AS height,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation,
+  CASE WHEN doc_id % 5 = 4 OR doc_id % 3 <> 0 THEN NULL
+       ELSE CAST(doc_id % 180 AS DOUBLE) - 90.0 + 0.25 END AS gps_lat,
+  CASE WHEN doc_id % 5 = 4 OR doc_id % 3 <> 0 THEN NULL
+       ELSE CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.5 END AS gps_lon,
+  CASE WHEN doc_id % 5 = 4 OR doc_id % 3 <> 0 THEN NULL
+       ELSE (doc_id % 1000) / 10.0 END AS gps_alt,
+  CASE WHEN doc_id % 5 = 4 OR doc_id % 11 = 10 THEN NULL
+       ELSE concat('L', CAST(doc_id % 5 AS VARCHAR)) END AS lens_model,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE 18.0 + (doc_id % 20) * 5.0 END AS focal_length,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE 1.0 + (doc_id % 8) * 0.5 END AS aperture,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE concat('1/', CAST(1 << CAST(doc_id % 10 AS INT) AS VARCHAR))
+  END AS shutter_speed,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST(100 * (1 + doc_id % 32) AS INT) END AS iso,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST(((doc_id % 9) & 1) <> 0 AS VARCHAR) END AS flash
+FROM documents
+"""
+
+
 # F4/F8/F9/F12 — scalar-function parity (filename derived from doc_id so the
 # oracle can predict every output analytically)
 _EXT_CHOICES = ["jpg", "tar.gz", "png", "txt", "sql.bz2", "mp4", "pdf", "heic"]
@@ -771,6 +916,83 @@ SELECT doc_id, ext,
                  substring(md5(ident), 13, 4), substring(md5(ident), 17, 4),
                  substring(md5(ident), 21, 12)) AS det_uuid
 FROM d
+"""
+
+
+# U1/O4 — pluggable detector registry + priority-ordered first-match-wins
+# coalesce (CodeProjectDetectionService.java:20-59). Marker flags and
+# marker-file metadata are analytic functions of doc_id so the oracle can
+# replay the exact priority cascade as a CASE chain.
+def q_u1_detector_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arhivum_spark.operators import detectors as det
+
+    d = F.col("doc_id")
+    folders = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("proj-"), d.cast("string")).alias("folder_name"),
+    )
+    has = {
+        "pom": d % 2 == 0,
+        "gradle": d % 3 == 0,
+        "package_json": d % 5 == 0,
+        "go_mod": d % 7 == 0,
+        "python": d % 11 == 0,
+        "cargo": d % 13 == 0,
+        "git": d % 17 == 0,
+        "src": d % 19 == 0,
+    }
+    meta = {
+        "group_id": F.concat(F.lit("com.ex.g"), (d % 4).cast("string")),
+        "artifact": F.concat(F.lit("a"), (d % 6).cast("string")),
+        "version": F.concat(F.lit("1."), (d % 3).cast("string")),
+        "npm_name": F.concat(F.lit("pkg"), (d % 9).cast("string")),
+        "module_path": F.concat(
+            F.lit("github.com/org/m"), (d % 8).cast("string")
+        ),
+        "py_name": F.concat(F.lit("py"), (d % 5).cast("string")),
+        "crate": F.concat(F.lit("crate"), (d % 5).cast("string")),
+        "remote": F.concat(F.lit("git@host:r"), (d % 10).cast("string")),
+        "branch": F.lit("main"),
+        "folder_name": F.col("folder_name"),
+    }
+    out = det.detect_projects(folders, det.reference_detectors(has, meta))
+    return out.select("doc_id", "project_type", "identifier", "is_code_project")
+
+
+SQL_U1_DETECTORS = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'MAVEN'
+       WHEN doc_id % 3 = 0 THEN 'GRADLE'
+       WHEN doc_id % 5 = 0 THEN 'NPM'
+       WHEN doc_id % 7 = 0 THEN 'GO'
+       WHEN doc_id % 11 = 0 THEN 'PYTHON'
+       WHEN doc_id % 13 = 0 THEN 'RUST'
+       WHEN doc_id % 17 = 0 THEN 'GIT'
+       WHEN doc_id % 19 = 0 THEN 'GENERIC'
+  END AS project_type,
+  CASE WHEN doc_id % 2 = 0 OR doc_id % 3 = 0 THEN
+         concat('com.ex.g', CAST(doc_id % 4 AS VARCHAR), ':a',
+                CAST(doc_id % 6 AS VARCHAR), ':1.', CAST(doc_id % 3 AS VARCHAR))
+       WHEN doc_id % 5 = 0 THEN
+         concat('pkg', CAST(doc_id % 9 AS VARCHAR), ':1.',
+                CAST(doc_id % 3 AS VARCHAR))
+       WHEN doc_id % 7 = 0 THEN
+         concat('github.com/org/m', CAST(doc_id % 8 AS VARCHAR))
+       WHEN doc_id % 11 = 0 THEN
+         concat('py', CAST(doc_id % 5 AS VARCHAR), ':1.',
+                CAST(doc_id % 3 AS VARCHAR))
+       WHEN doc_id % 13 = 0 THEN
+         concat('crate', CAST(doc_id % 5 AS VARCHAR), ':1.',
+                CAST(doc_id % 3 AS VARCHAR))
+       WHEN doc_id % 17 = 0 THEN
+         concat('git@host:r', CAST(doc_id % 10 AS VARCHAR), '@main')
+       WHEN doc_id % 19 = 0 THEN
+         concat('unknown:proj-', CAST(doc_id AS VARCHAR))
+  END AS identifier,
+  (doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 5 = 0 OR doc_id % 7 = 0
+   OR doc_id % 11 = 0 OR doc_id % 13 = 0 OR doc_id % 17 = 0
+   OR doc_id % 19 = 0) AS is_code_project
+FROM documents
 """
 
 
@@ -1063,8 +1285,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_knn_bruteforce": (q_emb_knn, SQL_EMB_KNN),
     "emb_neardup_pairs": (q_emb_neardup, SQL_EMB_NEARDUP),
     "mm_media_meta": (q_mm_media_meta, SQL_MM_MEDIA_META),
+    "f6_exif_struct": (q_f6_exif_struct, SQL_F6_EXIF),
     "f_scalar_functions": (q_scalar_functions, SQL_SCALARS),
     "a6_duptype_classification": (q_a6_duptype, SQL_A6),
+    "u1_detector_priority": (q_u1_detector_priority, SQL_U1_DETECTORS),
+    "p6_dedup_gate": (q_p6_dedup_gate, SQL_P6),
+    "f2_f5_hash_verify_mime": (q_f2_f5_hash_mime, SQL_F2_F5),
     "j3_union_join_cc": (q_j3_union_join_cc, SQL_J3),
     "p4_exclusion_predicates": (q_p4_exclusions, SQL_P4),
     "a4_similarity_estimate": (q_a4_similarity_estimate, SQL_A4),
