@@ -119,6 +119,131 @@ def cosine_neardup_pairs(
     )
 
 
+def rhp_table_buckets(
+    base: DataFrame,
+    dim: int,
+    nbits: int,
+    n_tables: int,
+    seed: int = 42,
+    vec_col: str = "vecd",
+) -> DataFrame:
+    """(_cid, table, bucket) for ALL tables in ONE Arrow-batched pass.
+
+    The planes of every table are stacked into one (n_tables*nbits, dim)
+    matrix so each row does a single einsum instead of n_tables*nbits
+    catalyst dot expressions; per-table seeds match `hyperplanes(dim,
+    nbits, seed + 1000*t)` exactly, so buckets are bit-identical to the
+    per-table `rhp_signature` path. BLAS-free einsum (nested-thread rule,
+    docs/ENGINEERING_NOTES.md)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.vstack(
+        [hyperplanes(dim, nbits, seed=seed + 1000 * t) for t in range(n_tables)]
+    )
+    weights = (2 ** np.arange(nbits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)  # (n, d)
+        bits = (np.einsum("nd,kd->nk", x, planes) >= 0).astype(np.int64)
+        per_table = np.einsum(
+            "ntb,b->nt", bits.reshape(len(x), n_tables, nbits), weights
+        )
+        return pd.Series(list(per_table))
+
+    return base.select(
+        "_cid", F.posexplode(buckets(vec_col)).alias("table", "bucket")
+    )
+
+
+def rhp_bucket_candidates(
+    df: DataFrame,
+    nbits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate near-dup id pairs: rows sharing an LSH bucket in ANY of
+    `n_tables` hyperplane tables (id_a < id_b, distinct).
+
+    Scale shape: the pair join is an equi-join on (table, bucket) — never a
+    crossJoin — and only compact ids ride the shuffle (vectors are re-joined
+    by the caller AFTER cross-table dedup, so each surviving pair carries
+    its payload exactly once). Bucket population is ~n/2^nbits per table;
+    nbits tunes the blocking factor against recall.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("_cid"), "vecd")
+    bucketed = rhp_table_buckets(base, dim, nbits, n_tables, seed)
+    a = bucketed.select("table", "bucket", F.col("_cid").alias("id_a"))
+    b = bucketed.select("table", "bucket", F.col("_cid").alias("id_b"))
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def pair_cosine_udf():
+    """Arrow-batched exact cosine for verified pairs — one einsum per batch
+    instead of a catalyst zip_with/aggregate per pair (~40x fewer JVM
+    expression evaluations on wide candidate sets)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos(
+        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        a = np.array(va.tolist(), dtype=np.float64)
+        b = np.array(vb.tolist(), dtype=np.float64)
+        d = np.einsum("nd,nd->n", a, b)
+        return pd.Series(np.round(d / (na.values * nb.values), 6))
+
+    return pair_cos
+
+
+def rhp_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked near-dup pairs: LSH bucket candidates -> exact-cosine verify.
+
+    Same output contract as cosine_neardup_pairs (which stays as the exact
+    small-scale oracle) but the quadratic crossJoin is replaced by the
+    (table, bucket) equi-join of rhp_bucket_candidates; recall depends on
+    (nbits, n_tables) vs the threshold's angle — the registered query pins
+    a config measured at recall 1.0 on its corpus.
+    """
+    cand = rhp_bucket_candidates(df, nbits, n_tables, seed, id_col, vec_col)
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("_id"), "vecd", "norm"
+    )
+    va = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("vecd").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    vb = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("vecd").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", pair_cosine_udf()("va", "vb", "na", "nb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     """Seeded random hyperplanes (nbits, dim) — identical across processes."""
     return np.random.default_rng(seed).standard_normal((nbits, dim))
@@ -160,27 +285,19 @@ def rhp_ann_topk(
     query in ANY of `n_tables` independent hyperplane tables; exact cosine
     rank within candidates.
 
-    Scale shape: corpus is bucketed once per table (a narrow shuffle on
-    (table, bucket)); queries are broadcast; the crossJoin of cosine_topk
-    becomes an equi-join on bucket keys. Recall is tunable via
-    (nbits, n_tables) — tested against the exact oracle in
-    tests/test_embeddings.py.
+    Scale shape: ONE stacked-planes signature pass over the corpus
+    (rhp_table_buckets) instead of n_tables separate projections; queries
+    are broadcast; the crossJoin of cosine_topk becomes an equi-join on
+    (table, bucket). Recall is tunable via (nbits, n_tables) — tested
+    against the exact oracle in tests/test_training_ops.py.
     """
     dim = len(df.select(vec_col).first()[0])
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("_cid"), "vecd", "norm"
     )
-    sigs = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, nbits, seed=seed + 1000 * t)
-        sigs.append(
-            rhp_signature(base, planes)
-            .withColumn("table", F.lit(t))
-            .select("_cid", "vecd", "norm", "table", "bucket")
-        )
-    bucketed = sigs[0]
-    for s in sigs[1:]:
-        bucketed = bucketed.unionByName(s)
+    bucketed = base.join(
+        rhp_table_buckets(base, dim, nbits, n_tables, seed), "_cid"
+    ).select("_cid", "vecd", "norm", "table", "bucket")
     q = (
         bucketed.join(query_ids.select(F.col(id_col).alias("_cid")), "_cid")
         .select(

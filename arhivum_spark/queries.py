@@ -756,8 +756,15 @@ WHERE rk <= 5
 """
 
 
+# Registered implementation is the BUCKETED near-dup (equi-join on LSH
+# (table, bucket) keys -> exact-cosine verify; no crossJoin in the plan).
+# (nbits=2, n_tables=16) is measured recall/precision 1.0 vs the exact
+# O(n^2) pair set on this corpus, so the exact SQL stays a true oracle;
+# cosine_neardup_pairs remains the small-scale pytest oracle.
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embeddings.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return embeddings.rhp_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, nbits=2, n_tables=16
+    )
 
 
 SQL_EMB_NEARDUP = """

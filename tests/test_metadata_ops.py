@@ -132,6 +132,27 @@ def test_verify_hash_case_insensitive(spark):
     assert flags == [True, True, False]
 
 
+# --- bucketed embedding near-dup (replaces the crossJoin) ------------------
+
+def test_rhp_neardup_matches_exact_and_avoids_crossjoin(spark):
+    from tests.conftest import SF_TEST_DIR
+    from arhivum_spark.operators import embeddings
+
+    emb = spark.read.parquet(f"{SF_TEST_DIR}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embeddings.cosine_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    blocked_df = embeddings.rhp_neardup_pairs(
+        emb, threshold=0.4, nbits=2, n_tables=16
+    )
+    blocked = {(r.id_a, r.id_b, r.cosine) for r in blocked_df.collect()}
+    assert blocked == exact
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.mark.parametrize(
     "hexmagic,ext,expected",
     [
