@@ -119,6 +119,16 @@ def minhash_batch(
     for c0 in range(0, len(shingle_sets), chunk):
         sets = shingle_sets[c0 : c0 + chunk]
         lens = np.array([len(s) for s in sets], dtype=np.int64)
+        # reduceat silently returns the NEXT set's first hash for an empty
+        # segment (and raises IndexError on a trailing one) — an empty
+        # shingle set is a caller bug, fail loudly instead of corrupting
+        # the signature
+        if not (lens > 0).all():
+            raise ValueError(
+                "minhash_batch: empty shingle set at batch index "
+                f"{c0 + int(np.argmin(lens > 0))}; callers must substitute "
+                "a sentinel shingle for empty inputs"
+            )
         flat = np.concatenate(sets).astype(np.uint64)
         hm = _universal_hash(flat, a, b)  # (k, chunk_total)
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))

@@ -191,6 +191,116 @@ def substring_pairs_within_groups(
 # Document MinHash over token n-gram shingles
 
 
+_POLY_B = np.uint64(0x100000001B3)  # odd multiplier, wraps mod 2^64
+_GRAM_P = np.uint64(0x9E3779B97F4A7C15)
+_EMPTY_SENTINEL = np.int64(1)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set) —
+    full-avalanche mixing of 64-bit lanes, wrapping uint64 arithmetic."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _gram_hash_batch(texts: list[str], ngram: int) -> list[np.ndarray]:
+    """Deduplicated 64-bit token-n-gram hash sets for a whole Arrow batch
+    in ONE numpy pass (replaces per-gram hashlib calls — the round-1
+    Python-per-gram kernel was ~10x the cost of everything else in
+    docs_minhash_lsh_pairs).
+
+    Pipeline over the concatenated byte buffer of all texts:
+    token hash = splitmix64(polynomial-in-bytes mod 2^64), segment-summed
+    with add.reduceat; gram hash = splitmix64(polynomial over the n token
+    hashes); per-doc dedup via lexsort. Docs shorter than `ngram` tokens
+    contribute one whole-sequence gram; empty docs a sentinel (matching the
+    previous semantics where "" hashed to a constant).
+    """
+    n_docs = len(texts)
+    if n_docs == 0:
+        return []
+    data = b"\x00".join(t.encode() for t in texts) + b"\x00"
+    arr = np.frombuffer(data, dtype=np.uint8)
+    is_nul = arr == 0
+    is_sep = is_nul | (arr == 32)
+    nonsep = ~is_sep
+    if not nonsep.any():
+        return [np.array([_EMPTY_SENTINEL]) for _ in range(n_docs)]
+
+    prev_sep = np.empty(len(arr), dtype=bool)
+    prev_sep[0] = True
+    prev_sep[1:] = is_sep[:-1]
+    tok_start = nonsep & prev_sep  # first char of every token
+    # doc index of every char = count of NULs before it
+    doc_of_char = np.cumsum(is_nul) - is_nul.astype(np.int64)
+
+    # --- token hashes: polynomial over bytes, wrapped mod 2^64 ---
+    idx = np.flatnonzero(nonsep)
+    starts = np.flatnonzero(tok_start)
+    tok_of_char = np.cumsum(tok_start)[idx] - 1  # token id per nonsep char
+    pos_in_tok = idx - starts[tok_of_char]
+    max_len = int(pos_in_tok.max()) + 1
+    pow_table = np.empty(max_len, dtype=np.uint64)
+    pow_table[0] = 1
+    if max_len > 1:
+        np.cumprod(np.full(max_len - 1, _POLY_B, dtype=np.uint64),
+                   out=pow_table[1:])
+    terms = arr[idx].astype(np.uint64) * pow_table[pos_in_tok]
+    # reduceat offsets: positions (in compressed space) where tokens begin
+    tok_begin = np.flatnonzero(tok_start[idx])  # tok_start sliced to nonsep
+    tok_hash = _splitmix64(np.add.reduceat(terms, tok_begin))
+    doc_of_tok = doc_of_char[starts]
+    n_tok_per_doc = np.bincount(doc_of_tok, minlength=n_docs)
+
+    # --- gram hashes: polynomial over n consecutive token hashes ---
+    grams_parts: list[np.ndarray] = []
+    gram_doc_parts: list[np.ndarray] = []
+    T = len(tok_hash)
+    if T >= ngram:
+        L = T - ngram + 1
+        acc = np.zeros(L, dtype=np.uint64)
+        for j in range(ngram):
+            acc = acc * _GRAM_P + tok_hash[j : j + L]
+        same_doc = doc_of_tok[:L] == doc_of_tok[ngram - 1 :]
+        grams_parts.append(_splitmix64(acc[same_doc]))
+        gram_doc_parts.append(doc_of_tok[:L][same_doc])
+    # whole-sequence gram for docs with 1..ngram-1 tokens
+    short_docs = np.flatnonzero((n_tok_per_doc > 0) & (n_tok_per_doc < ngram))
+    if len(short_docs):
+        tok_doc_offsets = np.concatenate(
+            ([0], np.cumsum(n_tok_per_doc)[:-1])
+        )
+        short_hashes = np.empty(len(short_docs), dtype=np.uint64)
+        with np.errstate(over="ignore"):  # wraparound mod 2^64 is the point
+            for k, d in enumerate(short_docs):
+                h = np.uint64(0)
+                o = tok_doc_offsets[d]
+                for j in range(n_tok_per_doc[d]):
+                    h = h * _GRAM_P + tok_hash[o + j]
+                short_hashes[k] = h
+        grams_parts.append(_splitmix64(short_hashes))
+        gram_doc_parts.append(short_docs.astype(np.int64))
+
+    gram = np.concatenate(grams_parts) if grams_parts else np.empty(0, np.uint64)
+    gdoc = np.concatenate(gram_doc_parts) if gram_doc_parts else np.empty(0, np.int64)
+
+    # --- per-doc dedup + split ---
+    order = np.lexsort((gram, gdoc))
+    gram, gdoc = gram[order], gdoc[order]
+    keep = np.empty(len(gram), dtype=bool)
+    if len(gram):
+        keep[0] = True
+        keep[1:] = (gram[1:] != gram[:-1]) | (gdoc[1:] != gdoc[:-1])
+    gram, gdoc = gram[keep].view(np.int64), gdoc[keep]
+    counts = np.bincount(gdoc, minlength=n_docs)
+    splits = np.split(gram, np.cumsum(counts)[:-1])
+    return [
+        s if len(s) else np.array([_EMPTY_SENTINEL]) for s in splits
+    ]
+
+
 def doc_minhash(
     df: DataFrame,
     cfg: DedupConfig,
@@ -198,37 +308,15 @@ def doc_minhash(
     text_col: str = "text",
     ngram: int = 3,
 ) -> DataFrame:
-    """(id, minhash array<int>) over token n-gram shingles — Arrow-batched."""
+    """(id, minhash array<int>) over token n-gram shingles — Arrow-batched,
+    with batch-vectorized gram hashing (_gram_hash_batch)."""
     a, b = mh.permutations(cfg.num_perm, cfg.minhash_seed)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sets = []
-            for text in pdf[text_col]:
-                toks = text.split() if text else []
-                if len(toks) < ngram:
-                    grams = [" ".join(toks)] if toks else [""]
-                else:
-                    grams = [
-                        " ".join(toks[i : i + ngram])
-                        for i in range(len(toks) - ngram + 1)
-                    ]
-                ids = np.array(
-                    [
-                        np.int64(
-                            int.from_bytes(
-                                __import__("hashlib")
-                                .blake2b(g.encode(), digest_size=8)
-                                .digest(),
-                                "little",
-                                signed=True,
-                            )
-                        )
-                        for g in set(grams)
-                    ],
-                    dtype=np.int64,
-                )
-                sets.append(np.unique(ids))
+            sets = _gram_hash_batch(
+                ["" if t is None else t for t in pdf[text_col]], ngram
+            )
             sigs = mh.minhash_batch(sets, a, b)
             yield pd.DataFrame({"id": pdf[id_col].values, "minhash": list(sigs)})
 
@@ -251,8 +339,13 @@ def minhash_lsh_pairs(
         verify_edges,
     )
 
-    sigs = doc_minhash(df, cfg, id_col, text_col, ngram).withColumn(
-        "phash", F.lit(0).cast("long")
+    # one materialization of the signature UDF — it feeds the band explode
+    # AND both sides of the verification join (3 consumers; without the
+    # checkpoint the Arrow kernel runs three times)
+    sigs = (
+        doc_minhash(df, cfg, id_col, text_col, ngram)
+        .withColumn("phash", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
     )
     bands = band_keys(
         sigs.select(F.col("id").alias("image_id"), "minhash"), cfg

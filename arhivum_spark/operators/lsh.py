@@ -26,7 +26,7 @@ Scale design (the parts Catalyst can't do for us — SURVEY.md §4):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from arhivum_spark.config import DedupConfig
@@ -138,23 +138,42 @@ def salted_candidate_edges(
         )
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("band", "key", "salt").orderBy("image_id")
-    starred = salted.withColumn("hub", F.first("image_id").over(w))
+    # Star edges WITHOUT a ranking window (round-1's largest non-scaling
+    # stage: the window sort-shuffled the whole rows x bands explode).
+    # Instead: groupBy(min, count) — partial-aggregated map-side, so hot
+    # keys never funnel into one partition — then an INNER join of the
+    # explode against only the buckets with >= 2 members. Near-dup buckets
+    # are rare, so that hub set is tiny and AQE turns the join into a
+    # broadcast: the big side is never shuffled at all. (If hubs outgrow
+    # broadcast at 10^12, the salt key still bounds the sort-merge
+    # partitions — same skew guarantee as before.)
+    hub_agg = (
+        salted.groupBy("band", "key", "salt")
+        .agg(
+            F.min("image_id").alias("hub"),
+            F.count("*").alias("bucket_n"),
+            F.max("cnt").alias("_cnt"),
+        )
+    )
+    pair_hubs = hub_agg.filter(F.col("bucket_n") >= 2).select(
+        "band", "key", "salt", "hub"
+    )
     edges = (
-        starred.filter(F.col("image_id") != F.col("hub"))
+        salted.join(pair_hubs, ["band", "key", "salt"])
+        .filter(F.col("image_id") != F.col("hub"))
         .select(F.col("hub").alias("src"), F.col("image_id").alias("dst"))
     )
-    # link salt buckets of the same hot (band,key): chain their bucket hubs
-    bucket_hubs = (
-        salted.filter(F.col("cnt") > cfg.hot_band_threshold)
-        .groupBy("band", "key", "salt")
-        .agg(F.min("image_id").alias("bucket_hub"))
+    # link salt buckets of the same hot (band,key): min bucket-hub per key
+    # joins every other bucket hub (replaces the per-key ordering window —
+    # bucket_hubs is tiny, one broadcastable self-aggregation)
+    bucket_hubs = hub_agg.filter(F.col("_cnt") > cfg.hot_band_threshold)
+    key_hubs = bucket_hubs.groupBy("band", "key").agg(
+        F.min("hub").alias("key_hub")
     )
-    wk = Window.partitionBy("band", "key").orderBy("salt")
     hub_chain = (
-        bucket_hubs.withColumn("key_hub", F.first("bucket_hub").over(wk))
-        .filter(F.col("bucket_hub") != F.col("key_hub"))
-        .select(F.col("key_hub").alias("src"), F.col("bucket_hub").alias("dst"))
+        bucket_hubs.join(key_hubs, ["band", "key"])
+        .filter(F.col("hub") != F.col("key_hub"))
+        .select(F.col("key_hub").alias("src"), F.col("hub").alias("dst"))
     )
     return edges.unionByName(hub_chain).distinct()
 
