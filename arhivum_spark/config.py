@@ -34,7 +34,18 @@ class DedupConfig:
     # shingles is dup pairs J >= ~0.7 (re-encoded worst case) vs random
     # pairs J <= ~0.06; 0.5 sits >5 sigma from both (k=128 estimator)
     min_signature_agreement: float = 0.5
-    psnr_verify_db: float = 40.0           # lossy-format pixel invariant
+    psnr_verify_db: float = 40.0           # lossy re-encode roundtrip invariant
+    # decoded-pixel PSNR re-check of surviving candidate edges; runs as its
+    # own pipeline stage re-joining bytes by id for the (few)
+    # post-signature-verification edges. The EDGE bound is looser than the
+    # roundtrip invariant: a legitimate near-dup with ~5% of pixel blocks
+    # replaced sits near 10*log10(255^2 / (0.05 * 255^2/6)) ~= 20.8 dB,
+    # while an UNRELATED pair sits at ~7.8 dB (MSE ~= 255^2/6) — 14 dB
+    # separates the classes with margin on both sides. Lossy re-encodes of
+    # identical content still clear psnr_verify_db and that stricter bound
+    # stays the per-row codec invariant (tests/test_pipeline_recall.py).
+    psnr_verify_enabled: bool = True
+    psnr_edge_min_db: float = 14.0
 
     # skew handling: bands whose key frequency exceeds this get salted
     hot_band_threshold: int = 64

@@ -156,11 +156,29 @@ def salted_candidate_edges(
         )
     )
     pair_hubs = hub_agg.filter(F.col("bucket_n") >= 2).select(
-        "band", "key", "salt", "hub"
+        "band", "key", "salt", "hub", "bucket_n"
     )
+    # max_pairs_per_band (SURVEY §4 degenerate-content valve): a bucket
+    # with more than `cap` members emits only ~cap star edges — members are
+    # kept by a deterministic hash draw (pmod(h, bucket_n) < cap keeps an
+    # expected cap of them). Exact-dedup-first already collapsed identical
+    # content, so a bucket this big means pathological near-identical
+    # variety; sampled-out members may cost recall there, which is the
+    # documented trade. Per (band, key) the bound is salt_buckets * cap.
+    cap = cfg.max_pairs_per_band
     edges = (
         salted.join(pair_hubs, ["band", "key", "salt"])
         .filter(F.col("image_id") != F.col("hub"))
+        .filter(
+            (F.col("bucket_n") <= cap)
+            | (
+                F.pmod(
+                    F.xxhash64("image_id", F.col("band"), F.col("key")),
+                    F.col("bucket_n"),
+                )
+                < cap
+            )
+        )
         .select(F.col("hub").alias("src"), F.col("image_id").alias("dst"))
     )
     # link salt buckets of the same hot (band,key): min bucket-hub per key

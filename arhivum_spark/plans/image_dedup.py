@@ -22,6 +22,8 @@ appends per-partition metrics. All joins on ids/signatures only.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,6 +33,61 @@ from arhivum_spark.operators import dedup_exact
 from arhivum_spark.operators.connected_components import connected_components
 from arhivum_spark.operators.lsh import candidate_edges_compact, verify_edges
 from arhivum_spark.sources.checkpoints import StageStore
+
+
+def psnr_verify_edges(
+    edges: DataFrame,
+    images: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Decoded-pixel PSNR re-check of candidate edges: keep pairs with
+    PSNR >= cfg.psnr_edge_min_db (separates near-dups, ~20 dB worst case
+    for the 5%-blocks-perturbed class, from unrelated pairs at ~8 dB; see
+    config.py). Same-content lossy re-encodes additionally clear the
+    strict cfg.psnr_verify_db roundtrip invariant.
+
+    Bytes are re-joined BY ID for only the edges that survived signature
+    verification — a tiny set next to the corpus — so image payloads still
+    never ride the LSH shuffles; this is the only stage after s1 that
+    touches pixels. Pairs whose decoded shapes differ are dropped (not a
+    duplicate), identical pixels give PSNR = inf. Adds `psnr_db`.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from arhivum_spark import codec
+    from arhivum_spark.operators.multimodal import _decode_any
+
+    thresh = float(cfg.psnr_edge_min_db)
+
+    @pandas_udf("double")
+    def pair_psnr(ba: pd.Series, bb: pd.Series) -> pd.Series:
+        out = np.empty(len(ba))
+        for i, (x, y) in enumerate(zip(ba, bb)):
+            try:
+                pa = _decode_any(bytes(x), "")
+                pb = _decode_any(bytes(y), "")
+                out[i] = (
+                    codec.psnr(pa, pb) if pa.shape == pb.shape else -1.0
+                )
+            except Exception:
+                out[i] = -1.0
+        return pd.Series(out)
+
+    a = images.select(
+        F.col(id_col).alias("src"), F.col(bytes_col).alias("_ba")
+    )
+    b = images.select(
+        F.col(id_col).alias("dst"), F.col(bytes_col).alias("_bb")
+    )
+    return (
+        edges.join(a, "src")
+        .join(b, "dst")
+        .withColumn("psnr_db", pair_psnr("_ba", "_bb"))
+        .filter(F.col("psnr_db") >= thresh)
+        .drop("_ba", "_bb")
+    )
 
 
 def run_pipeline(
@@ -59,6 +116,13 @@ def run_pipeline(
         cand = candidate_edges_compact(rep_sigs, cfg)
         return verify_edges(cand, rep_sigs, cfg)
     near_edges = store.read_or_compute("s3_candidates", candidate_stage)
+
+    if cfg.psnr_verify_enabled:
+        sig_edges = near_edges
+        near_edges = store.read_or_compute(
+            "s3b_psnr",
+            lambda: psnr_verify_edges(sig_edges, images, cfg),
+        )
 
     def cluster_stage() -> DataFrame:
         # CC runs over near-dup edges between exact-representatives ONLY:

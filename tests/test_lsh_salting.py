@@ -56,6 +56,30 @@ def test_hot_band_salted_but_connected(spark, sample):
     assert cold_edges == 0
 
 
+def test_max_pairs_per_band_caps_bucket_edges(spark):
+    """A bucket above max_pairs_per_band emits ~cap star edges, not one per
+    member (SURVEY §4 per-band pair cap); buckets below the cap are
+    untouched."""
+    cfg = DedupConfig(
+        hot_detect_sample=1.0, hot_band_threshold=100_000,
+        max_pairs_per_band=50,
+    )
+    big = spark.range(500).select(
+        F.col("id").alias("image_id"), F.lit(0).alias("band"),
+        F.lit(7).alias("key"),
+    )
+    small = spark.range(1000, 1030).select(
+        F.col("id").alias("image_id"), F.lit(1).alias("band"),
+        F.lit(8).alias("key"),
+    )
+    edges = salted_candidate_edges(big.unionByName(small), cfg)
+    n_big = edges.filter(F.col("dst") < 1000).count()
+    n_small = edges.filter(F.col("dst") >= 1000).count()
+    # hash-draw keeps an expected `cap` members of the big bucket
+    assert 20 <= n_big <= 100, f"cap not enforced: {n_big} edges"
+    assert n_small == 29  # below cap: every member star-linked
+
+
 def test_sampled_detection_misses_small_buckets_harmlessly(spark):
     """Keys below the sampled-detection floor stay unsalted — star edges
     still link their members (correctness unaffected; only partition size

@@ -138,3 +138,33 @@ def test_resume_reuses_committed_stages(spark, images, tmp_path_factory):
     )
     m = StageStore(spark, root).metrics()
     assert m is not None and m.count() > 0
+
+
+def test_psnr_verify_filters_false_edges(spark):
+    """s3b: a lossy re-encode pair survives AND clears the strict 40 dB
+    roundtrip invariant; a 5%-blocks-perturbed near-dup survives the edge
+    bound; an edge between DIFFERENT images is dropped even if LSH
+    proposed it, as is a decoded-shape mismatch."""
+    from arhivum_spark.plans.image_dedup import psnr_verify_edges
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    perturbed = base.copy()
+    perturbed[:8, :8] = rng.integers(0, 256, size=(8, 8, 3))  # ~6% of blocks
+    rows = [
+        (1, bytearray(codec.encode_lossless(base))),
+        (2, bytearray(codec.encode_lossy(base, 8))),   # re-encode of base
+        (3, bytearray(codec.encode_lossless(other))),  # unrelated
+        (4, bytearray(codec.encode_lossless(base[:16]))),  # shape mismatch
+        (5, bytearray(codec.encode_lossless(perturbed))),  # near-dup
+    ]
+    images = spark.createDataFrame(rows, ["image_id", "bytes"])
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], ["src", "dst"]
+    )
+    out = psnr_verify_edges(edges, images, CFG)
+    got = {(r.src, r.dst): r.psnr_db for r in out.collect()}
+    assert set(got) == {(1, 2), (1, 5)}
+    assert got[(1, 2)] >= CFG.psnr_verify_db  # strict roundtrip invariant
+    assert got[(1, 5)] >= CFG.psnr_edge_min_db
