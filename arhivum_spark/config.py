@@ -51,7 +51,12 @@ class DedupConfig:
     hot_band_threshold: int = 64
     # heavy-hitter detection sample fraction (1.0 = exact full count);
     # sampled detection skips a rows*bands-sized shuffle and only needs to
-    # catch keys hot enough to matter (see lsh.salted_candidate_edges)
+    # catch keys hot enough to matter (see lsh.salted_candidate_edges).
+    # NOTE the sampled-count floor of 3 makes the EFFECTIVE salting
+    # threshold ~ceil(3 / hot_detect_sample) members (~300 at the 0.01
+    # default), not hot_band_threshold itself — keys between the two are
+    # usually left unsalted, which is correctness-neutral (star edges still
+    # link them) and only relaxes per-partition size bounds.
     hot_detect_sample: float = 0.01
     salt_buckets: int = 16
     max_pairs_per_band: int = 4096         # hard cap per (band,key) group

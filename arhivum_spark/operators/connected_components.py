@@ -29,6 +29,10 @@ def connected_components(
 ) -> DataFrame:
     """vertices(id), edges(src,dst) -> (id, component) with component =
     min vertex id reachable. Vertices absent from edges keep component=id.
+
+    Output is restricted to `vertices`: edge endpoints outside it still
+    PROPAGATE labels (so an out-of-vertex node can bridge two vertices)
+    but are not emitted.
     """
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -68,6 +72,7 @@ def connected_components(
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
-    return labels.select(F.col("v").alias(id_col), "component").unionByName(
-        isolated
+    emitted = labels.select(F.col("v").alias(id_col), "component").join(
+        vertices.select(id_col), id_col, "left_semi"
     )
+    return emitted.unionByName(isolated)

@@ -75,11 +75,19 @@ class StageStore:
         df.count()
         df.write.mode("overwrite").parquet(path)
         elapsed = time.time() - t0
+        df.unpersist()
+        committed = self.spark.read.parquet(path)
         if metrics:
-            # per-partition metrics from the still-persisted stage output —
-            # no re-read of the committed files
+            # per-FILE metrics from the COMMITTED snapshot (the contract:
+            # _metrics reflects what a resume would actually read, not the
+            # in-memory plan's partitioning, which can differ from file
+            # layout). count(*) per file prunes to parquet footers — cheap.
             part_metrics = (
-                df.groupBy(F.spark_partition_id().alias("partition_id"))
+                committed.groupBy(
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ).alias("file")
+                )
                 .agg(F.count("*").alias("rows"))
                 .withColumn("stage", F.lit(stage))
                 .withColumn("write_seconds", F.lit(round(elapsed, 3)))
@@ -87,8 +95,6 @@ class StageStore:
             part_metrics.write.mode("append").parquet(
                 os.path.join(self.root, "_metrics")
             )
-        df.unpersist()
-        committed = self.spark.read.parquet(path)
         m = self._manifest()
         m["stages"][stage] = {
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
