@@ -130,6 +130,24 @@ def sniff_mime(bytes_col: str | Column, ext_col: str | Column | None = None) -> 
     return expr.otherwise(fallback)
 
 
+def repo_name(remote_col: str | Column) -> Column:
+    """F11: repo name from a git remote URL
+    (GitProjectDetector.java:24 REMOTE_PATTERN + extractRepoName:120-141):
+    https://host/path(.git)? or git@host:path(.git)? -> last path segment;
+    'unknown' passes through; anything else falls back to the whole remote.
+    """
+    c = remote_col if isinstance(remote_col, Column) else F.col(remote_col)
+    https_path = F.regexp_extract(c, r"^https?://[^/]+/(.+?)(?:\.git)?$", 1)
+    ssh_path = F.regexp_extract(c, r"^git@[^:]+:(.+?)(?:\.git)?$", 1)
+    path = F.when(https_path != "", https_path).otherwise(ssh_path)
+    name = F.element_at(F.split(path, "/"), -1)
+    return (
+        F.when(c == "unknown", F.lit("unknown"))
+        .when(path != "", name)
+        .otherwise(c)
+    )
+
+
 def verify_hash(content_col: str | Column, expected_col: str | Column) -> Column:
     """F2: recompute sha256 and compare case-insensitively
     (HashService.java:151-154 verifyHash)."""

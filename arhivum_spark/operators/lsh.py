@@ -147,15 +147,20 @@ def salted_candidate_edges(
     # broadcast: the big side is never shuffled at all. (If hubs outgrow
     # broadcast at 10^12, the salt key still bounds the sort-merge
     # partitions — same skew guarantee as before.)
-    hub_agg = (
-        salted.groupBy("band", "key", "salt")
-        .agg(
-            F.min("image_id").alias("hub"),
-            F.count("*").alias("bucket_n"),
-            F.max("cnt").alias("_cnt"),
-        )
+    hub_agg = salted.groupBy("band", "key", "salt").agg(
+        F.min("image_id").alias("hub"),
+        F.count("*").alias("bucket_n"),
+        F.max("cnt").alias("_cnt"),
     )
-    pair_hubs = hub_agg.filter(F.col("bucket_n") >= 2).select(
+    # Two consumers (star join + hot-key chain) — materialize ONCE, and
+    # only the buckets either can use (>=2 members or hot): singleton
+    # non-hot buckets, the overwhelming majority, are dropped before the
+    # checkpoint so the stored frame is tiny. Without this the rows x
+    # bands groupBy runs twice (measured: s3 doubled at local[2]).
+    hub_small = hub_agg.filter(
+        (F.col("bucket_n") >= 2) | (F.col("_cnt") > cfg.hot_band_threshold)
+    ).localCheckpoint(eager=False)
+    pair_hubs = hub_small.filter(F.col("bucket_n") >= 2).select(
         "band", "key", "salt", "hub", "bucket_n"
     )
     # max_pairs_per_band (SURVEY §4 degenerate-content valve): a bucket
@@ -184,7 +189,7 @@ def salted_candidate_edges(
     # link salt buckets of the same hot (band,key): min bucket-hub per key
     # joins every other bucket hub (replaces the per-key ordering window —
     # bucket_hubs is tiny, one broadcastable self-aggregation)
-    bucket_hubs = hub_agg.filter(F.col("_cnt") > cfg.hot_band_threshold)
+    bucket_hubs = hub_small.filter(F.col("_cnt") > cfg.hot_band_threshold)
     key_hubs = bucket_hubs.groupBy("band", "key").agg(
         F.min("hub").alias("key_hub")
     )

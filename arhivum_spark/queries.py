@@ -926,6 +926,173 @@ FROM d
 """
 
 
+# O3 — recent-first listing (FileService newest-first queries)
+def q_o3_recent_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(20)
+        .select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+SQL_O3 = """
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events ORDER BY ts DESC, event_id ASC LIMIT 20
+"""
+
+
+# W3 — batch numbering: deterministic order -> fixed-size output batches
+# (OutputService.java batch files; inherently a total-order window, so at
+# scale it runs per-partition-then-offset or on the already-small output —
+# registered here in its direct global-window form over the small table).
+def q_w3_batch_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("doc_id")
+    rn = F.row_number().over(w)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.floor((rn - 1) / 100).alias("batch_no"),
+        ((rn - 1) % 100).alias("pos_in_batch"),
+    )
+
+
+SQL_W3 = """
+SELECT doc_id,
+       CAST((row_number() OVER (ORDER BY doc_id) - 1) // 100 AS BIGINT)
+         AS batch_no,
+       CAST((row_number() OVER (ORDER BY doc_id) - 1) % 100 AS BIGINT)
+         AS pos_in_batch
+FROM documents
+"""
+
+
+# A10 — walk-time running totals (ScanCommand progress: files/bytes so far)
+def q_a10_walk_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.count("*").over(w).alias("files_so_far"),
+        F.sum("n_chars").over(w).alias("bytes_so_far"),
+    )
+
+
+SQL_A10 = """
+SELECT doc_id, source,
+       count(*) OVER w AS files_so_far,
+       CAST(sum(n_chars) OVER w AS BIGINT) AS bytes_so_far
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# A11 — one-row corpus summary metrics (ScanSummary / MetadataService)
+def q_a11_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_A11 = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+"""
+
+
+# P7 — CODE-zone scoping: only rows whose resolved zone is CODE enter the
+# project-detection path (FolderZoneService + CodeProjectScannerService)
+def q_p7_code_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "path",
+        F.concat_ws(
+            "/", F.lit("src"), F.col("source"), F.col("lang"),
+            F.concat(F.lit("doc-"), F.col("doc_id")),
+        ),
+    )
+    zone_table = spark.createDataFrame(_ZONE_ROWS, ["folder_path", "zone"])
+    resolved = zones.resolve_zones(df, zone_table, "path")
+    return (
+        resolved.filter(F.col("zone") == "CODE")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_files"))
+    )
+
+
+SQL_P7 = f"""
+SELECT d.source, d.lang, count(*) AS n_files
+FROM ({SQL_J4}) z JOIN documents d USING (doc_id)
+WHERE z.zone = 'CODE'
+GROUP BY d.source, d.lang
+"""
+
+
+# F11 — repo-name extraction regex (GitProjectDetector.java:24,120-141);
+# remotes synthesized analytically from doc_id so the oracle needs no regex
+def q_f11_repo_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arhivum_spark.functions import scalars
+
+    d = F.col("doc_id")
+    remote = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("https://github.com/org"), (d % 10).cast("string"),
+                F.lit("/repo"), (d % 7).cast("string"), F.lit(".git"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("git@gitlab.com:group"), (d % 10).cast("string"),
+                F.lit("/proj"), (d % 7).cast("string"),
+            ),
+        )
+        .when(d % 4 == 2, F.lit("unknown"))
+        .otherwise(F.concat(F.lit("file:///local/x"), (d % 5).cast("string")))
+    )
+    df = _docs(spark, sf_dir).select("doc_id", remote.alias("remote"))
+    return df.select(
+        "doc_id", "remote", scalars.repo_name("remote").alias("repo_name")
+    )
+
+
+SQL_F11 = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN
+         concat('https://github.com/org', CAST(doc_id % 10 AS VARCHAR),
+                '/repo', CAST(doc_id % 7 AS VARCHAR), '.git')
+       WHEN doc_id % 4 = 1 THEN
+         concat('git@gitlab.com:group', CAST(doc_id % 10 AS VARCHAR),
+                '/proj', CAST(doc_id % 7 AS VARCHAR))
+       WHEN doc_id % 4 = 2 THEN 'unknown'
+       ELSE concat('file:///local/x', CAST(doc_id % 5 AS VARCHAR))
+  END AS remote,
+  CASE WHEN doc_id % 4 = 0 THEN concat('repo', CAST(doc_id % 7 AS VARCHAR))
+       WHEN doc_id % 4 = 1 THEN concat('proj', CAST(doc_id % 7 AS VARCHAR))
+       WHEN doc_id % 4 = 2 THEN 'unknown'
+       ELSE concat('file:///local/x', CAST(doc_id % 5 AS VARCHAR))
+  END AS repo_name
+FROM documents
+"""
+
+
 # U1/O4 — pluggable detector registry + priority-ordered first-match-wins
 # coalesce (CodeProjectDetectionService.java:20-59). Marker flags and
 # marker-file metadata are analytic functions of doc_id so the oracle can
@@ -1298,6 +1465,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "u1_detector_priority": (q_u1_detector_priority, SQL_U1_DETECTORS),
     "p6_dedup_gate": (q_p6_dedup_gate, SQL_P6),
     "f2_f5_hash_verify_mime": (q_f2_f5_hash_mime, SQL_F2_F5),
+    "o3_recent_first": (q_o3_recent_first, SQL_O3),
+    "w3_batch_numbers": (q_w3_batch_numbers, SQL_W3),
+    "a10_walk_totals": (q_a10_walk_totals, SQL_A10),
+    "a11_summary_metrics": (q_a11_summary, SQL_A11),
+    "p7_code_zone_projects": (q_p7_code_zone, SQL_P7),
+    "f11_repo_name": (q_f11_repo_name, SQL_F11),
     "j3_union_join_cc": (q_j3_union_join_cc, SQL_J3),
     "p4_exclusion_predicates": (q_p4_exclusions, SQL_P4),
     "a4_similarity_estimate": (q_a4_similarity_estimate, SQL_A4),

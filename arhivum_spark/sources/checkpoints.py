@@ -78,23 +78,7 @@ class StageStore:
         df.unpersist()
         committed = self.spark.read.parquet(path)
         if metrics:
-            # per-FILE metrics from the COMMITTED snapshot (the contract:
-            # _metrics reflects what a resume would actually read, not the
-            # in-memory plan's partitioning, which can differ from file
-            # layout). count(*) per file prunes to parquet footers — cheap.
-            part_metrics = (
-                committed.groupBy(
-                    F.element_at(
-                        F.split(F.input_file_name(), "/"), -1
-                    ).alias("file")
-                )
-                .agg(F.count("*").alias("rows"))
-                .withColumn("stage", F.lit(stage))
-                .withColumn("write_seconds", F.lit(round(elapsed, 3)))
-            )
-            part_metrics.write.mode("append").parquet(
-                os.path.join(self.root, "_metrics")
-            )
+            self._append_metrics(stage, path, elapsed)
         m = self._manifest()
         m["stages"][stage] = {
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -102,6 +86,38 @@ class StageStore:
         }
         self._commit_manifest(m)
         return committed
+
+    def _append_metrics(self, stage: str, path: str, elapsed: float) -> None:
+        """Per-FILE row counts of the COMMITTED snapshot (the contract:
+        _metrics reflects what a resume actually reads, not the in-memory
+        plan's partitioning). Read from parquet footers driver-side — no
+        Spark job; stage dirs have O(cores) files. On a real cluster the
+        same footers come from the object store listing."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, fn))
+            rows.append((stage, fn, md.num_rows, round(elapsed, 3)))
+        if not rows:
+            rows.append((stage, "_empty", 0, round(elapsed, 3)))
+        import pyarrow as pa
+
+        table = pa.table(
+            {
+                "stage": [r[0] for r in rows],
+                "file": [r[1] for r in rows],
+                "rows": [r[2] for r in rows],
+                "write_seconds": [r[3] for r in rows],
+            }
+        )
+        mdir = os.path.join(self.root, "_metrics")
+        os.makedirs(mdir, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(mdir, f"{stage}-{int(time.time()*1000)}.parquet")
+        )
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, stage, "data"))
