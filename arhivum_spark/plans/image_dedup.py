@@ -92,18 +92,20 @@ def psnr_verify_edges(
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
-            n = len(pdf)
+            src = pdf["src"].to_numpy()
+            dst = pdf["dst"].to_numpy()
+            blobs = pdf["_b"].to_numpy()
+            n = len(src)
             out_src, out_dst, out_psnr = [], [], []
             i = 0
             while i < n:
                 if i == n - 1:
                     carry = pdf.iloc[[i]]
                     break
-                r0, r1 = pdf.iloc[i], pdf.iloc[i + 1]
-                if r0["src"] == r1["src"] and r0["dst"] == r1["dst"]:
+                if src[i] == src[i + 1] and dst[i] == dst[i + 1]:
                     try:
-                        pa = _decode_any(bytes(r0["_b"]), "")
-                        pb = _decode_any(bytes(r1["_b"]), "")
+                        pa = _decode_any(bytes(blobs[i]), "")
+                        pb = _decode_any(bytes(blobs[i + 1]), "")
                         v = (
                             codec.psnr(pa, pb)
                             if pa.shape == pb.shape
@@ -111,8 +113,8 @@ def psnr_verify_edges(
                         )
                     except Exception:
                         v = -1.0
-                    out_src.append(r0["src"])
-                    out_dst.append(r0["dst"])
+                    out_src.append(src[i])
+                    out_dst.append(dst[i])
                     out_psnr.append(v)
                     i += 2
                 else:

@@ -1391,6 +1391,43 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
 """
 
 
+# Substring containment (the suffix-array pass's contract): contained's
+# full token sequence appears contiguously inside container's. With
+# single-space-joined tokens this is exactly delimited string containment,
+# so DuckDB's position() is a true oracle for the window-hash join.
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arhivum_spark.config import DedupConfig
+    from arhivum_spark.operators.dedup_text import substring_pairs
+
+    cfg = DedupConfig(substring_max_tokens=12)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("id"),
+        # truncate to first (doc_id % 16 + 1) tokens so real containments
+        # exist in the corpus (full random texts contain nothing)
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split("text", " "), 1, (F.col("doc_id") % 16 + 1).cast("int")
+            ),
+        ).alias("text"),
+    )
+    return substring_pairs(docs, cfg, id_col="id", text_col="text")
+
+
+SQL_SUBSTRING_PAIRS = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         array_to_string(
+           string_split(text, ' ')[1 : CAST(doc_id % 16 + 1 AS INT)], ' '
+         ) AS text
+  FROM documents),
+c AS (SELECT * FROM d WHERE len(list_filter(string_split(text,' '), x -> x <> '')) <= 12)
+SELECT DISTINCT c.id AS contained_id, d.id AS container_id
+FROM c JOIN d ON c.id <> d.id
+WHERE position(concat(' ', c.text, ' ') IN concat(' ', d.text, ' ')) > 0
+"""
+
+
 # ANN with (nbits=2, n_tables=16): measured recall 1.0 vs the exact top-k
 # on this corpus (max pairwise cosine ~= 0.51 => wide-margin neighbors), so
 # the exact-kNN SQL is a true oracle for the approximate operator here.
@@ -1471,6 +1508,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a11_summary_metrics": (q_a11_summary, SQL_A11),
     "p7_code_zone_projects": (q_p7_code_zone, SQL_P7),
     "f11_repo_name": (q_f11_repo_name, SQL_F11),
+    "substring_containment_pairs": (q_substring_pairs, SQL_SUBSTRING_PAIRS),
     "j3_union_join_cc": (q_j3_union_join_cc, SQL_J3),
     "p4_exclusion_predicates": (q_p4_exclusions, SQL_P4),
     "a4_similarity_estimate": (q_a4_similarity_estimate, SQL_A4),
