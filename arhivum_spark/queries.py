@@ -946,17 +946,15 @@ FROM events ORDER BY ts DESC, event_id ASC LIMIT 20
 
 
 # W3 — batch numbering: deterministic order -> fixed-size output batches
-# (OutputService.java batch files; inherently a total-order window, so at
-# scale it runs per-partition-then-offset or on the already-small output —
-# registered here in its direct global-window form over the small table).
+# (OutputService.java:73-99 sequential batch files). Uses the scalable
+# two-phase global row-number (operators/ordering.py) — NOT a bare
+# row_number() OVER (ORDER BY ...), which collapses to one task.
 def q_w3_batch_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("doc_id")
-    rn = F.row_number().over(w)
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.floor((rn - 1) / 100).alias("batch_no"),
-        ((rn - 1) % 100).alias("pos_in_batch"),
-    )
+    from arhivum_spark.operators.ordering import batch_numbers
+
+    return batch_numbers(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", 100
+    ).select("doc_id", "batch_no", "pos_in_batch")
 
 
 SQL_W3 = """

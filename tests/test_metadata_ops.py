@@ -116,6 +116,27 @@ def test_detector_registry_pluggable(spark):
     assert row["project_type"] == "CUSTOM"
 
 
+# --- two-phase global row number (W3) --------------------------------------
+
+def test_global_row_number_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from arhivum_spark.operators.ordering import global_row_number
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 7919 % 1000).alias("k")  # shuffled distinct keys
+    )
+    got = {
+        r["k"]: r["_rn"] for r in global_row_number(df, "k", 8).collect()
+    }
+    naive = {
+        r["k"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k"))
+        ).collect()
+    }
+    assert got == naive
+
+
 # --- F2 hash verify / F5 MIME sniff ---------------------------------------
 
 def test_verify_hash_case_insensitive(spark):
