@@ -147,7 +147,9 @@ def run_pipeline(
     representative_id, content_sha256). Resumes from committed stages."""
 
     sigs = store.read_or_compute(
-        "s1_signatures", lambda: attach_signatures(images, cfg)
+        "s1_signatures",
+        lambda: attach_signatures(images, cfg),
+        materialize_first=True,  # pandas-UDF stage (see StageStore.write)
     )
 
     def exact_stage() -> DataFrame:
@@ -170,6 +172,7 @@ def run_pipeline(
         near_edges = store.read_or_compute(
             "s3b_psnr",
             lambda: psnr_verify_edges(sig_edges, images, cfg),
+            materialize_first=True,  # pandas-UDF stage
         )
 
     def cluster_stage() -> DataFrame:

@@ -60,22 +60,32 @@ class StageStore:
             )
         )
 
-    def write(self, stage: str, df: DataFrame, metrics: bool = True) -> DataFrame:
+    def write(
+        self,
+        stage: str,
+        df: DataFrame,
+        metrics: bool = True,
+        materialize_first: bool = False,
+    ) -> DataFrame:
         """Commit a stage snapshot (idempotent overwrite) and return a reader
         of the committed data — downstream reads the snapshot, not the
-        lineage, so a failure downstream never recomputes this stage."""
+        lineage, so a failure downstream never recomputes this stage.
+
+        materialize_first: persist+count before the file write. Needed for
+        pandas-UDF stages only — fusing a UDF stage into the parquet-write
+        task interacts badly with Arrow batch streaming (measured 3-5x
+        slower + high variance in local mode). Pure-JVM stages write
+        directly: one pass, half the constant cost.
+        """
         path = os.path.join(self.root, stage, "data")
         t0 = time.time()
-        # Materialize before the file write: fusing a pandas-UDF stage into
-        # the parquet-write task interacts badly with Arrow batch streaming
-        # (measured 3-5x slower + high variance in local mode). On a real
-        # cluster with wide stages this is a wash — the persist is
-        # MEMORY_AND_DISK and freed immediately after the write.
-        df = df.persist()
-        df.count()
+        if materialize_first:
+            df = df.persist()
+            df.count()
         df.write.mode("overwrite").parquet(path)
         elapsed = time.time() - t0
-        df.unpersist()
+        if materialize_first:
+            df.unpersist()
         committed = self.spark.read.parquet(path)
         if metrics:
             self._append_metrics(stage, path, elapsed)
@@ -122,11 +132,15 @@ class StageStore:
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, stage, "data"))
 
-    def read_or_compute(self, stage: str, compute) -> DataFrame:
+    def read_or_compute(
+        self, stage: str, compute, materialize_first: bool = False
+    ) -> DataFrame:
         """Resume point: reuse the committed snapshot, else compute+commit."""
         if self.is_committed(stage):
             return self.read(stage)
-        return self.write(stage, compute())
+        return self.write(
+            stage, compute(), materialize_first=materialize_first
+        )
 
     def metrics(self) -> DataFrame | None:
         path = os.path.join(self.root, "_metrics")
