@@ -17,14 +17,19 @@ first-occurrence-wins) and its batch-then-upload resumable micro-batching
   commit makes the replay a no-op, matching the reference's re-upload
   idempotency).
 
-Stateful session/accumulation logic beyond dedup belongs in
-`applyInPandasWithState` — not needed for the reference's surface.
+- `flag_duplicates_stateful`: the custom-stateful-operator form
+  (`applyInPandasWithState`): unlike the drop variant, EVERY row is
+  emitted, annotated with (is_duplicate, representative_id, seen_before)
+  from explicit per-key state — the streaming twin of the batch W1
+  first-wins flag window (OutputService.java:107-134 semantics).
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +45,66 @@ def dedup_stream(
     hashExists -> registerHash gate, with bounded state."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [key_col]
+    )
+
+
+def flag_duplicates_stateful(
+    stream: DataFrame,
+    hash_col: str = "content_sha256",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming first-wins duplicate FLAGGING with explicit keyed state.
+
+    Per content key the state holds (first_id, n_seen); every input row is
+    emitted (nothing dropped) with is_duplicate, representative_id and
+    seen_before (occurrences of the key before this row, across
+    micro-batches). This is the operator class the built-in
+    dropDuplicates family can't express — annotate-not-drop with
+    arbitrary per-key accumulation — via applyInPandasWithState.
+    State outlives micro-batches (checkpointed by the engine); a
+    production deployment adds a timeout to bound it the way the batch
+    path's watermark does.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{hash_col} string, {id_col} long, is_duplicate boolean, "
+        f"representative_id long, seen_before long"
+    )
+    state_schema = "first_id long, n_seen long"
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (first_id, n_seen) = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            ids = pdf[id_col].tolist()
+            rows = []
+            for rid in ids:
+                if first_id is None:
+                    first_id = int(rid)
+                    rows.append((key[0], rid, False, first_id, n_seen))
+                else:
+                    rows.append((key[0], rid, True, first_id, n_seen))
+                n_seen += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    hash_col, id_col, "is_duplicate",
+                    "representative_id", "seen_before",
+                ],
+            )
+        state.update((first_id, n_seen))
+
+    return (
+        stream.groupBy(hash_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

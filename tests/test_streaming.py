@@ -96,3 +96,47 @@ def test_windowed_rates(spark, tmp_path):
     total = rates.agg(F.sum("rows")).first()[0]
     n_src = spark.read.parquet(str(tmp_path / "src")).count()
     assert total == n_src
+
+
+def test_stateful_flagging_annotates_instead_of_dropping(spark, tmp_path):
+    """applyInPandasWithState custom operator: every row emitted, flagged
+    first-wins per content key, state continuous across micro-batches."""
+    from arhivum_spark.streaming.ingest import flag_duplicates_stateful
+
+    src = _write_source(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(src)
+        .withColumn(
+            "content_sha256",
+            F.sha2(F.concat_ws("|", "user_id", "event_type"), 256),
+        )
+    )
+    q = (
+        flag_duplicates_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("flagged")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM flagged")
+    n_src = spark.read.parquet(src).count()
+    assert got.count() == n_src  # nothing dropped
+    per_key = got.groupBy("content_sha256").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_duplicate").cast("int")).alias("dups"),
+        F.countDistinct("representative_id").alias("reps"),
+    )
+    bad = per_key.filter(
+        (F.col("dups") != F.col("n") - 1) | (F.col("reps") != 1)
+    ).count()
+    assert bad == 0  # exactly one non-duplicate (the first) per key
+    # seen_before is a true running occurrence counter per key
+    mx = got.groupBy("content_sha256").agg(
+        F.max("seen_before").alias("mx"), F.count("*").alias("n")
+    )
+    assert mx.filter(F.col("mx") != F.col("n") - 1).count() == 0
