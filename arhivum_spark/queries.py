@@ -730,6 +730,57 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
 """
 
 
+# Composite pretraining-data quality FILTER (C4/Gopher-style): the quality
+# features + language id composed into an actual keep/drop decision —
+# thresholds sit inside the corpus's measured feature ranges (n_tokens
+# 10..99 median 56; stopword_ratio 0..0.22 median 0.06) so the filter is
+# non-trivial at sf0.01.
+def q_txt_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = text_analysis.lang_scores(
+        text_analysis.quality_features(_docs(spark, sf_dir))
+    )
+    return (
+        feats.filter(
+            (F.col("n_tokens") >= 30)
+            & (F.col("stopword_ratio") >= 0.04)
+            & (F.col("digit_ratio") <= 0.3)
+            & (F.col("lang_pred") != "und")
+        )
+        .select(
+            "doc_id", "lang_pred", "n_tokens",
+            F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        )
+    )
+
+
+SQL_TXT_QUALITY_FILTER = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+f AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+    round(CASE WHEN len(toks) > 0
+      THEN CAST(len(list_filter(toks, x -> list_contains([{_ALL_SW}], x)))
+           AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+    round(CASE WHEN len(text) > 0
+      THEN CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / len(text) ELSE 0.0 END, 4) AS digit_ratio,
+    len(list_filter(toks, x -> list_contains([{_SW['de']}], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains([{_SW['en']}], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains([{_SW['es']}], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains([{_SW['fr']}], x))) AS s_fr
+  FROM t),
+l AS (
+  SELECT *, CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+  FROM f)
+SELECT doc_id, lang_pred, n_tokens, stopword_ratio
+FROM l
+WHERE n_tokens >= 30 AND stopword_ratio >= 0.04
+  AND digit_ratio <= 0.3 AND lang_pred <> 'und'
+"""
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -1426,6 +1477,45 @@ WHERE position(concat(' ', c.text, ' ') IN concat(' ', d.text, ' ')) > 0
 """
 
 
+# Embedding near-dup DEDUP decision (SemDeDup-shaped): bucketed cosine
+# pairs -> connected components -> first-wins representative per cluster.
+# The full training-pipeline contract: not just the pair list but the
+# keep/drop column. Oracle: recursive-CTE min-label propagation over the
+# exact O(n^2) pair set (the bucketed pairs are measured identical to it).
+def q_emb_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arhivum_spark.operators.connected_components import connected_components
+
+    emb = _emb(spark, sf_dir)
+    pairs = embeddings.rhp_neardup_pairs(
+        emb, threshold=0.4, nbits=2, n_tables=16
+    )
+    comp = connected_components(
+        emb.select(F.col("vec_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="id",
+    )
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") != F.col("component")).alias("is_duplicate"),
+    )
+
+
+SQL_EMB_NEARDUP_DEDUP = f"""
+WITH RECURSIVE e AS (SELECT id_a AS src, id_b AS dst FROM ({SQL_EMB_NEARDUP})),
+sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+walk(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node
+  WHERE w.label < s.b),
+labels AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+SELECT node AS vec_id, component AS cluster_id,
+       node <> component AS is_duplicate
+FROM labels
+"""
+
+
 # ANN with (nbits=2, n_tables=16): measured recall 1.0 vs the exact top-k
 # on this corpus (max pairwise cosine ~= 0.51 => wide-margin neighbors), so
 # the exact-kNN SQL is a true oracle for the approximate operator here.
@@ -1507,6 +1597,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p7_code_zone_projects": (q_p7_code_zone, SQL_P7),
     "f11_repo_name": (q_f11_repo_name, SQL_F11),
     "substring_containment_pairs": (q_substring_pairs, SQL_SUBSTRING_PAIRS),
+    "txt_quality_filter": (q_txt_quality_filter, SQL_TXT_QUALITY_FILTER),
+    "emb_neardup_dedup": (q_emb_neardup_dedup, SQL_EMB_NEARDUP_DEDUP),
     "j3_union_join_cc": (q_j3_union_join_cc, SQL_J3),
     "p4_exclusion_predicates": (q_p4_exclusions, SQL_P4),
     "a4_similarity_estimate": (q_a4_similarity_estimate, SQL_A4),
