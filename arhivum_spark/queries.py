@@ -927,6 +927,34 @@ FROM documents
 """
 
 
+# Image exact-dedup through the REAL codec: synthesize constant-fill
+# images (hw_mod=3, fill_mult=32 => bytes are identical exactly when
+# doc_id % 24 matches: hw has period 3, fill = 32*i mod 256 period 8,
+# fmt period 2, lcm = 24), sha256 the encoded bytes, first-wins flag.
+# This driver-checks the pipeline's s2 semantics end-to-end (encoder
+# determinism -> content hash -> dup flag), with a pure-arithmetic oracle.
+def q_img_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = multimodal.synth_media_from_ids(
+        docs, id_col="doc_id", hw_mod=3, fill_mult=32
+    )
+    hashed = media.select(
+        "doc_id", F.sha2(F.col("bytes"), 256).alias("sha256")
+    )
+    flagged = dedup_exact.flag_duplicates(hashed, "sha256", "doc_id")
+    return flagged.select("doc_id", "is_duplicate", "representative_id")
+
+
+SQL_IMG_EXACT_DEDUP = """
+WITH g AS (
+  SELECT doc_id, doc_id % 24 AS grp,
+         min(doc_id) OVER (PARTITION BY doc_id % 24) AS rep
+  FROM documents)
+SELECT doc_id, doc_id <> rep AS is_duplicate, rep AS representative_id
+FROM g
+"""
+
+
 # F4/F8/F9/F12 — scalar-function parity (filename derived from doc_id so the
 # oracle can predict every output analytically)
 _EXT_CHOICES = ["jpg", "tar.gz", "png", "txt", "sql.bz2", "mp4", "pdf", "heic"]
@@ -1599,6 +1627,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "substring_containment_pairs": (q_substring_pairs, SQL_SUBSTRING_PAIRS),
     "txt_quality_filter": (q_txt_quality_filter, SQL_TXT_QUALITY_FILTER),
     "emb_neardup_dedup": (q_emb_neardup_dedup, SQL_EMB_NEARDUP_DEDUP),
+    "img_exact_dedup": (q_img_exact_dedup, SQL_IMG_EXACT_DEDUP),
     "j3_union_join_cc": (q_j3_union_join_cc, SQL_J3),
     "p4_exclusion_predicates": (q_p4_exclusions, SQL_P4),
     "a4_similarity_estimate": (q_a4_similarity_estimate, SQL_A4),
