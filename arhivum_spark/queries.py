@@ -547,6 +547,36 @@ GROUP BY 1, 2
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # Sessionization — lag + gap cumsum (streaming analogue of keyed dedup state)
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -923,6 +953,32 @@ SELECT doc_id,
        ELSE CAST(100 * (1 + doc_id % 32) AS INT) END AS iso,
   CASE WHEN doc_id % 5 = 4 THEN NULL
        ELSE CAST(((doc_id % 9) & 1) <> 0 AS VARCHAR) END AS flash
+FROM documents
+"""
+
+
+# S3 — error-tolerant ingestion: corrupted rows isolated with ok=false,
+# never failing the job (the reference's continue-past-errors contract,
+# FileWalkerService.java:87-90). Bytes truncated to 3 bytes on
+# doc_id % 13 == 0 rows -> decode throws -> ok=false row, all analytic.
+def q_s3_error_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = multimodal.synth_media_from_ids(docs, id_col="doc_id")
+    corrupted = media.withColumn(
+        "bytes",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.substring(F.col("bytes"), 1, 3)
+        ).otherwise(F.col("bytes")),
+    )
+    meta = multimodal.attach_media_meta(corrupted, id_col="doc_id")
+    return meta.select("doc_id", "ok", "dec_w")
+
+
+SQL_S3_ERROR_TOLERANT = """
+SELECT doc_id,
+       doc_id % 13 <> 0 AS ok,
+       CASE WHEN doc_id % 13 = 0 THEN -1
+            ELSE CAST(8 + doc_id % 9 AS INT) END AS dec_w
 FROM documents
 """
 
@@ -1601,6 +1657,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_topk": (q_tpch_q3_topk, SQL_TPCH_Q3),
     "tpch_q5_region_revenue": (q_tpch_q5ish, SQL_TPCH_Q5),
+    "tpch_q6_forecast_revenue": (q_tpch_q6, SQL_TPCH_Q6),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "evt_tumbling_window": (q_evt_tumbling, SQL_EVT_TUMBLING),
     # training-data pipeline operators
@@ -1628,6 +1685,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "txt_quality_filter": (q_txt_quality_filter, SQL_TXT_QUALITY_FILTER),
     "emb_neardup_dedup": (q_emb_neardup_dedup, SQL_EMB_NEARDUP_DEDUP),
     "img_exact_dedup": (q_img_exact_dedup, SQL_IMG_EXACT_DEDUP),
+    "s3_error_tolerant_ingest": (q_s3_error_tolerant, SQL_S3_ERROR_TOLERANT),
     "j3_union_join_cc": (q_j3_union_join_cc, SQL_J3),
     "p4_exclusion_predicates": (q_p4_exclusions, SQL_P4),
     "a4_similarity_estimate": (q_a4_similarity_estimate, SQL_A4),
