@@ -1570,9 +1570,11 @@ def q_emb_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arhivum_spark.operators.connected_components import connected_components
 
     emb = _emb(spark, sf_dir)
+    # CC symmetrizes edges (union of both directions), which would evaluate
+    # the bucketed-pair plan twice — materialize it once
     pairs = embeddings.rhp_neardup_pairs(
         emb, threshold=0.4, nbits=2, n_tables=16
-    )
+    ).localCheckpoint(eager=False)
     comp = connected_components(
         emb.select(F.col("vec_id").alias("id")),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
