@@ -46,6 +46,12 @@ class DedupConfig:
     # stays the per-row codec invariant (tests/test_pipeline_recall.py).
     psnr_verify_enabled: bool = True
     psnr_edge_min_db: float = 14.0
+    # the PSNR stage broadcasts its (id -> edge, side) map onto the images
+    # scan while the surviving edge set is small (the common case after
+    # signature verification); past this many edges the map would blow the
+    # broadcast limit, so the stage falls back to a shuffle hash join keyed
+    # on id (2 rows/edge either way — only the join strategy changes)
+    psnr_broadcast_max_edges: int = 2_000_000
 
     # skew handling: bands whose key frequency exceeds this get salted
     hot_band_threshold: int = 64

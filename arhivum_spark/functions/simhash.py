@@ -1,36 +1,75 @@
 """SimHash over caption tokens (pure numpy kernels).
 
-64-bit SimHash: each token hashes to 64 bits (blake2b, deterministic across
-processes — no PYTHONHASHSEED dependence); the signature bit j is the sign of
-the sum over tokens of (+1 if bit j set else -1). Near-duplicate captions
-differ in a few tokens => small Hamming distance. The Hamming check itself
-stays JVM-side in Spark (`bit_count(simhash_a ^ simhash_b)`), only signature
-computation is Python (Arrow-batched).
+64-bit SimHash (Charikar, STOC'02): each token hashes to 64 bits; signature
+bit j is the sign of the sum over tokens of (+1 if bit j set else -1).
+Near-duplicate captions differ in a few tokens => small Hamming distance.
+The Hamming check itself stays JVM-side in Spark
+(`bit_count(simhash_a ^ simhash_b)`), only signature computation is Python
+(Arrow-batched).
+
+Token hash = splitmix64(polynomial-in-bytes mod 2^64) — the same
+deterministic, PYTHONHASHSEED-free scheme as the MinHash gram kernel
+(operators/dedup_text._gram_hash_batch), so the whole batch hashes in one
+vectorized pass over the concatenated byte buffer (the round-2 kernel was
+per-caption Python with a per-token hashlib call — the exact
+row-at-a-time class the gram kernel fix removed). `simhash64` remains the
+scalar reference implementation; tests assert the batch kernel matches it
+bit-for-bit.
+
+Tokenization contract: ASCII whitespace (space/tab/LF/CR), runs collapsed —
+matches str.split() for ASCII input.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 
 _BITS = np.arange(64, dtype=np.uint64)
+_POLY_B = 0x100000001B3  # odd multiplier, wraps mod 2^64
+_MASK64 = (1 << 64) - 1
+# ~2 MB bit-matrix bound per chunk: numpy temporaries must stay
+# cache-resident at 32-way parallelism (docs/ENGINEERING_NOTES.md)
+_CHUNK_TOKENS = 4096
+
+
+def _splitmix64_np(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set)."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _splitmix64_int(z: int) -> int:
+    z = (z + 0x9E3779B97F4A7C15) & _MASK64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return z ^ (z >> 31)
 
 
 def token_hash64(token: str) -> int:
-    """Stable 64-bit token hash (blake2b-8)."""
-    return int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"
-    )
+    """Stable 64-bit token hash — scalar reference for the batch kernel.
+
+    hash = splitmix64(sum_i byte_i * B^i mod 2^64), identical to the
+    vectorized path's per-token polynomial.
+    """
+    h, p = 0, 1
+    for byte in token.encode("utf-8"):
+        h = (h + byte * p) & _MASK64
+        p = (p * _POLY_B) & _MASK64
+    return _splitmix64_int(h)
 
 
 def simhash64(tokens: list[str]) -> int:
-    """Signed int64 SimHash of a token sequence (empty -> 0)."""
+    """Signed int64 SimHash of a token sequence (empty -> 0) — scalar
+    reference implementation (tests assert simhash_batch matches it)."""
     if not tokens:
         return 0
     hashes = np.array([token_hash64(t) for t in tokens], dtype=np.uint64)
     bits = (hashes[:, None] >> _BITS[None, :]) & np.uint64(1)  # (n, 64)
-    votes = bits.sum(axis=0) * 2 - len(tokens)  # (+1/-1 majority)
+    # signed accumulation: uint64 votes would underflow for minority bits
+    # (the round-2 kernel had exactly that bug — bit set iff 2*ones != n)
+    votes = bits.astype(np.int64).sum(axis=0) * 2 - len(tokens)
     sig = np.uint64(0)
     for j in np.nonzero(votes > 0)[0]:
         sig |= np.uint64(1) << np.uint64(j)
@@ -38,11 +77,78 @@ def simhash64(tokens: list[str]) -> int:
 
 
 def simhash_batch(captions: list[str]) -> np.ndarray:
-    """SimHash for a batch of captions -> (n,) int64 (whitespace tokenized)."""
-    return np.array(
-        [simhash64(c.split() if c else []) for c in captions], dtype=np.int64
-    )
+    """SimHash for a whole Arrow batch -> (n,) int64, in ONE numpy pass.
+
+    Token boundaries, polynomial token hashes, and per-doc bit votes are
+    all computed over the concatenated byte buffer (reduceat for the
+    segment sums); the (tokens x 64) vote matrix is chunked along doc
+    boundaries so temporaries stay L3-resident.
+    """
+    n_docs = len(captions)
+    out = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return out
+    data = b"\x00".join(("" if c is None else c).encode() for c in captions)
+    arr = np.frombuffer(data + b"\x00", dtype=np.uint8)
+    is_nul = arr == 0
+    is_sep = is_nul | (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
+    nonsep = ~is_sep
+    if not nonsep.any():
+        return out
+
+    prev_sep = np.empty(len(arr), dtype=bool)
+    prev_sep[0] = True
+    prev_sep[1:] = is_sep[:-1]
+    tok_start = nonsep & prev_sep
+    doc_of_char = np.cumsum(is_nul) - is_nul.astype(np.int64)
+
+    # token hashes: polynomial over bytes, wrapped mod 2^64
+    idx = np.flatnonzero(nonsep)
+    starts = np.flatnonzero(tok_start)
+    tok_of_char = np.cumsum(tok_start)[idx] - 1
+    pos_in_tok = idx - starts[tok_of_char]
+    max_len = int(pos_in_tok.max()) + 1
+    pow_table = np.empty(max_len, dtype=np.uint64)
+    pow_table[0] = 1
+    if max_len > 1:
+        np.cumprod(
+            np.full(max_len - 1, _POLY_B, dtype=np.uint64), out=pow_table[1:]
+        )
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the point
+        terms = arr[idx].astype(np.uint64) * pow_table[pos_in_tok]
+        tok_begin = np.flatnonzero(tok_start[idx])
+        tok_hash = _splitmix64_np(np.add.reduceat(terms, tok_begin))
+
+    doc_of_tok = doc_of_char[starts]
+    n_tok = np.bincount(doc_of_tok, minlength=n_docs)
+    tok_offsets = np.concatenate(([0], np.cumsum(n_tok)))
+
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        while (
+            d1 < n_docs
+            and tok_offsets[d1 + 1] - tok_offsets[d0] <= _CHUNK_TOKENS
+        ):
+            d1 += 1
+        t0, t1 = int(tok_offsets[d0]), int(tok_offsets[d1])
+        if t1 > t0:
+            bits = (
+                (tok_hash[t0:t1, None] >> _BITS[None, :]) & np.uint64(1)
+            ).astype(np.int64)
+            # reduceat offsets need values < len(bits); zero-token docs
+            # repeat an offset (garbage row) — masked out below
+            seg = np.minimum(tok_offsets[d0:d1] - t0, t1 - t0 - 1)
+            ones = np.add.reduceat(bits, seg, axis=0)
+            sig_bits = 2 * ones > n_tok[d0:d1, None]
+            sig_bits[n_tok[d0:d1] == 0] = False
+            packed = (sig_bits.astype(np.uint64) << _BITS[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[d0:d1] = packed.view(np.int64)
+        d0 = d1
+    return out
 
 
 def hamming64(a: int, b: int) -> int:
-    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    return bin((a ^ b) & _MASK64).count("1")

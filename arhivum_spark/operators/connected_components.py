@@ -21,6 +21,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Label propagation exhausted max_iters with labels still changing.
+
+    Returning the partial labels silently would hand the caller WRONG
+    components (a chain longer than max_iters hops from its min vertex is
+    the failure mode); raising makes non-convergence impossible to miss.
+    """
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -33,6 +42,11 @@ def connected_components(
     Output is restricted to `vertices`: edge endpoints outside it still
     PROPAGATE labels (so an out-of-vertex node can bridge two vertices)
     but are not emitted.
+
+    Raises ConvergenceError if max_iters rounds pass with labels still
+    changing (component diameter > max_iters — e.g. an adversarial chain);
+    callers needing guaranteed O(log n) rounds on such graphs should raise
+    max_iters or pre-contract the graph (large-star/small-star, SoCC'14).
     """
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -51,6 +65,7 @@ def connected_components(
     labels = touched.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("component")
     ).localCheckpoint()
+    n_changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.a == labels.v)
@@ -72,6 +87,13 @@ def connected_components(
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        raise ConvergenceError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({n_changed} labels still changing); component "
+            "diameter exceeds max_iters — raise cc_max_iters or contract "
+            "the graph first"
+        )
     emitted = labels.select(F.col("v").alias(id_col), "component").join(
         vertices.select(id_col), id_col, "left_semi"
     )

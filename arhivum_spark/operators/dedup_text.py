@@ -117,40 +117,29 @@ def substring_pairs(
         F.xxhash64(F.concat_ws("\x1f", "toks")).alias("wh"),
         F.md5(F.concat_ws("\x1f", "toks")).alias("wh2"),
     )
-    lengths = [r["len"] for r in cand.select("len").distinct().collect()]
-    if not lengths:
-        return cand.select(
-            "contained_id", F.col("contained_id").alias("container_id")
-        ).limit(0)
-
-    lengths_arr = F.array(*[F.lit(int(x)) for x in sorted(lengths)])
-    windows = toks.select(
-        F.col("_id").alias("container_id"),
-        F.col("n_tok"),
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.filter(lengths_arr, lambda L: L <= F.col("n_tok")),
-                    lambda L: F.transform(
-                        F.sequence(F.lit(1), F.col("n_tok") - L + 1),
-                        lambda s: F.struct(
-                            L.alias("len"),
-                            F.xxhash64(
-                                F.concat_ws("\x1f", F.slice("toks", s, L))
-                            ).alias("wh"),
-                            F.md5(
-                                F.concat_ws("\x1f", F.slice("toks", s, L))
-                            ).alias("wh2"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("win"),
-    ).select(
-        "container_id",
-        F.col("win.len").alias("len"),
-        F.col("win.wh").alias("wh"),
-        F.col("win.wh2").alias("wh2"),
+    # Candidate lengths stay a (tiny, <= substring_max_tokens row) FRAME
+    # broadcast-joined against the corpus — no driver collect, no extra
+    # Spark job, and window emission covers exactly the lengths that can
+    # match (a static 1..max set would emit windows for lengths with no
+    # candidates).
+    lengths_df = cand.select("len").distinct()
+    win_slice = F.slice("toks", F.col("_s"), F.col("len"))
+    windows = (
+        toks.join(F.broadcast(lengths_df), F.col("len") <= F.col("n_tok"))
+        .select(
+            F.col("_id").alias("container_id"),
+            "len",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tok") - F.col("len") + 1)
+            ).alias("_s"),
+        )
+        .select(
+            "container_id",
+            "len",
+            F.xxhash64(F.concat_ws("\x1f", win_slice)).alias("wh"),
+            F.md5(F.concat_ws("\x1f", win_slice)).alias("wh2"),
+        )
     )
     return (
         windows.join(cand, ["len", "wh", "wh2"])
@@ -224,7 +213,11 @@ def _gram_hash_batch(texts: list[str], ngram: int) -> list[np.ndarray]:
     data = b"\x00".join(t.encode() for t in texts) + b"\x00"
     arr = np.frombuffer(data, dtype=np.uint8)
     is_nul = arr == 0
-    is_sep = is_nul | (arr == 32)
+    # Tokenization contract: split on ASCII whitespace — space/tab/LF/CR
+    # (all single bytes in UTF-8, so the vectorized scan handles them for
+    # free); runs of separators collapse, matching str.split() for ASCII
+    # whitespace. Unicode-only spaces (NBSP etc.) are NOT separators.
+    is_sep = is_nul | (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
     nonsep = ~is_sep
     if not nonsep.any():
         return [np.array([_EMPTY_SENTINEL]) for _ in range(n_docs)]

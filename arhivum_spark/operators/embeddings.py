@@ -156,6 +156,32 @@ def rhp_table_buckets(
     )
 
 
+def _cap_buckets(bucketed: DataFrame, cap: int) -> DataFrame:
+    """Degenerate-bucket valve (the embedding twin of the image LSH
+    max_pairs_per_band, operators/lsh.py:166-188): buckets with more than
+    `cap` members keep an EXPECTED `cap` of them by deterministic hash
+    draw, so a pathological cohort (zero vectors, boilerplate embeddings)
+    that lands 10^9 rows in one (table, bucket) contributes O(cap^2)
+    candidate pairs instead of O(n^2). Singleton buckets are dropped
+    map-side (they can't produce pairs). The bucket-size frame has at most
+    n_tables * 2^nbits rows — always broadcastable.
+
+    Adds `_bn` (pre-cap bucket population)."""
+    sizes = bucketed.groupBy("table", "bucket").agg(F.count("*").alias("_bn"))
+    return bucketed.join(
+        F.broadcast(sizes.filter(F.col("_bn") >= 2)), ["table", "bucket"]
+    ).filter(
+        (F.col("_bn") <= cap)
+        | (
+            F.pmod(
+                F.xxhash64("_cid", F.col("table"), F.col("bucket")),
+                F.col("_bn"),
+            )
+            < cap
+        )
+    )
+
+
 def rhp_bucket_candidates(
     df: DataFrame,
     nbits: int = 8,
@@ -163,6 +189,7 @@ def rhp_bucket_candidates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_members: int = 4096,
 ) -> DataFrame:
     """Candidate near-dup id pairs: rows sharing an LSH bucket in ANY of
     `n_tables` hyperplane tables (id_a < id_b, distinct).
@@ -171,13 +198,16 @@ def rhp_bucket_candidates(
     crossJoin — and only compact ids ride the shuffle (vectors are re-joined
     by the caller AFTER cross-table dedup, so each surviving pair carries
     its payload exactly once). Bucket population is ~n/2^nbits per table;
-    nbits tunes the blocking factor against recall.
+    nbits tunes the blocking factor against recall. Buckets above
+    `max_bucket_members` are down-sampled by deterministic draw
+    (_cap_buckets) — the O(k^2)-per-bucket blowup valve.
     """
     dim = len(df.select(vec_col).first()[0])
     base = with_norm(df, vec_col).select(F.col(id_col).alias("_cid"), "vecd")
     bucketed = rhp_table_buckets(base, dim, nbits, n_tables, seed)
-    a = bucketed.select("table", "bucket", F.col("_cid").alias("id_a"))
-    b = bucketed.select("table", "bucket", F.col("_cid").alias("id_b"))
+    capped = _cap_buckets(bucketed, max_bucket_members)
+    a = capped.select("table", "bucket", F.col("_cid").alias("id_a"))
+    b = capped.select("table", "bucket", F.col("_cid").alias("id_b"))
     return (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -212,35 +242,136 @@ def rhp_neardup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_members: int = 4096,
 ) -> DataFrame:
-    """Blocked near-dup pairs: LSH bucket candidates -> exact-cosine verify.
+    """Blocked near-dup pairs: LSH buckets -> per-bucket exact-cosine verify.
 
     Same output contract as cosine_neardup_pairs (which stays as the exact
-    small-scale oracle) but the quadratic crossJoin is replaced by the
-    (table, bucket) equi-join of rhp_bucket_candidates; recall depends on
-    (nbits, n_tables) vs the threshold's angle — the registered query pins
-    a config measured at recall 1.0 on its corpus.
+    small-scale oracle) but blocked by the (table, bucket) LSH keys; recall
+    depends on (nbits, n_tables) vs the threshold's angle — the registered
+    query pins a config measured at recall 1.0 on its corpus
+    (tests/test_oracle_guard.py re-measures it).
+
+    Scale shape (round-3 rewrite): verification happens INSIDE each
+    bucket via one applyInPandas einsum over the bucket's member matrix,
+    and only the surviving (id_a, id_b, cosine) triples leave the bucket —
+    cross-table dedup then runs over bare ids. The previous plan deduped
+    candidate ids first and re-joined both 512-byte vectors onto every
+    pair (at sf0.1 a ~12 GB shuffle for 12.5M pairs); now vectors ride the
+    bucket explode exactly once (n * n_tables rows) and no pair ever
+    carries a payload. Degenerate buckets are capped by _cap_buckets, so
+    per-task work is bounded by max_bucket_members^2 regardless of skew.
     """
-    cand = rhp_bucket_candidates(df, nbits, n_tables, seed, id_col, vec_col)
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+    id_type = dict(df.dtypes)[id_col]
     base = with_norm(df, vec_col).select(
-        F.col(id_col).alias("_id"), "vecd", "norm"
+        F.col(id_col).alias("_cid"), "vecd", "norm"
     )
-    va = base.select(
-        F.col("_id").alias("id_a"),
-        F.col("vecd").alias("va"),
-        F.col("norm").alias("na"),
+    bucketed = rhp_table_buckets(
+        base.select("_cid", "vecd"), dim, nbits, n_tables, seed
     )
-    vb = base.select(
-        F.col("_id").alias("id_b"),
-        F.col("vecd").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
+    capped = _cap_buckets(bucketed, max_bucket_members).join(base, "_cid")
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_cid"].to_numpy()
+        x = np.array(pdf["vecd"].tolist(), dtype=np.float64)
+        nrm = pdf["norm"].to_numpy(dtype=np.float64)
+        m = len(ids)
+        out_a, out_b, out_c = [], [], []
+        # row-chunked m x m cosine: keeps the score block cache-resident
+        # even at the bucket cap; einsum stays BLAS-free (nested-thread
+        # rule, docs/ENGINEERING_NOTES.md)
+        step = 256
+        for i0 in range(0, m, step):
+            i1 = min(i0 + step, m)
+            block = np.einsum("id,jd->ij", x[i0:i1], x) / np.outer(
+                nrm[i0:i1], nrm
+            )
+            bi, bj = np.nonzero(np.round(block, 6) >= threshold)
+            keep = (bi + i0) < bj  # upper triangle only, no self-pairs
+            bi, bj = bi[keep], bj[keep]
+            ia, ib = ids[bi + i0], ids[bj]
+            swap = ia > ib
+            out_a.append(np.where(swap, ib, ia))
+            out_b.append(np.where(swap, ia, ib))
+            out_c.append(np.round(block[bi, bj], 6))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", pair_cosine_udf()("va", "vb", "na", "nb"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        capped.groupBy("table", "bucket")
+        .applyInPandas(per_bucket, schema=schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def rhp_star_neardup_edges(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_members: int = 4096,
+) -> DataFrame:
+    """Scale path for near-dup DEDUP: verified STAR edges per LSH bucket.
+
+    The dedup variant runs connected components over the pair graph
+    anyway, so full within-bucket pair enumeration is wasted work — within
+    each (table, bucket) this emits only (hub = min id, member) edges that
+    clear the cosine threshold: O(m) per bucket instead of O(m^2), one
+    einsum row per bucket. Same trade as the image pipeline's star edges
+    (operators/lsh.py): clusters whose members all clear the threshold
+    against the hub are fully restored by CC; borderline members linked
+    only member-to-member can be missed, so use it for SemDeDup-style
+    keep/drop where the threshold is well inside the cluster diameter.
+    Output: (src, dst, cosine) with src = bucket hub.
+    """
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+    id_type = dict(df.dtypes)[id_col]
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("_cid"), "vecd", "norm"
+    )
+    bucketed = rhp_table_buckets(
+        base.select("_cid", "vecd"), dim, nbits, n_tables, seed
+    )
+    capped = _cap_buckets(bucketed, max_bucket_members).join(base, "_cid")
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf["_cid"].to_numpy().argsort(kind="stable")
+        ids = pdf["_cid"].to_numpy()[order]
+        x = np.array(pdf["vecd"].tolist(), dtype=np.float64)[order]
+        nrm = pdf["norm"].to_numpy(dtype=np.float64)[order]
+        cos = np.round(
+            np.einsum("d,jd->j", x[0], x[1:]) / (nrm[0] * nrm[1:]), 6
+        )
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "src": np.repeat(ids[0], int(keep.sum())),
+                "dst": ids[1:][keep],
+                "cosine": cos[keep],
+            }
+        )
+
+    schema = f"src {id_type}, dst {id_type}, cosine double"
+    return (
+        capped.groupBy("table", "bucket")
+        .applyInPandas(per_bucket, schema=schema)
+        .dropDuplicates(["src", "dst"])
     )
 
 
@@ -280,6 +411,7 @@ def rhp_ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_members: int = 4096,
 ) -> DataFrame:
     """Approximate top-k: candidates = rows sharing an LSH bucket with the
     query in ANY of `n_tables` independent hyperplane tables; exact cosine
@@ -289,14 +421,22 @@ def rhp_ann_topk(
     (rhp_table_buckets) instead of n_tables separate projections; queries
     are broadcast; the crossJoin of cosine_topk becomes an equi-join on
     (table, bucket). Recall is tunable via (nbits, n_tables) — tested
-    against the exact oracle in tests/test_training_ops.py.
+    against the exact oracle in tests/test_training_ops.py. Buckets above
+    `max_bucket_members` are down-sampled by _cap_buckets — in a
+    degenerately hot bucket both corpus and query membership degrade
+    gracefully (other tables still contribute) instead of the join
+    exploding quadratically.
     """
     dim = len(df.select(vec_col).first()[0])
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("_cid"), "vecd", "norm"
     )
     bucketed = base.join(
-        rhp_table_buckets(base, dim, nbits, n_tables, seed), "_cid"
+        _cap_buckets(
+            rhp_table_buckets(base, dim, nbits, n_tables, seed),
+            max_bucket_members,
+        ).drop("_bn"),
+        "_cid",
     ).select("_cid", "vecd", "norm", "table", "bucket")
     q = (
         bucketed.join(query_ids.select(F.col(id_col).alias("_cid")), "_cid")

@@ -28,30 +28,41 @@ def global_row_number(
     pass a unique key for full determinism.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # PIN the range-partitioned layout before counting: RangePartitioner
+    # samples with a per-job seed, so re-executing the lineage for the
+    # final select could place rows in DIFFERENT partitions than the ones
+    # the collected offsets describe — silently wrong/duplicate ranks at
+    # any scale where sampling isn't exhaustive. localCheckpoint is eager,
+    # so the size-count job and the output job read the same partitions.
+    parts = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w = Window.partitionBy("_pid").orderBy(order_col)
     local = parts.withColumn("_lrn", F.row_number().over(w))
-    # prefix-sum of partition sizes: n rows to the driver, broadcast back
+    # prefix-sum of partition sizes: n rows to the driver, joined back as a
+    # tiny broadcast frame (scales to any partition count, unlike a
+    # when-chain over O(n) literals)
     sizes = {
         r["_pid"]: r["cnt"]
-        for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(sizes):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += sizes[pid]
-    offset_col = F.coalesce(
-        *[
-            F.when(F.col("_pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
+    spark = df.sparkSession
+    if offsets:
+        off_df = spark.createDataFrame(offsets, ["_pid", "_off"])
+        local = local.join(F.broadcast(off_df), "_pid", "left").withColumn(
+            "_off", F.coalesce(F.col("_off"), F.lit(0))
+        )
+    else:
+        local = local.withColumn("_off", F.lit(0))
     return (
-        local.withColumn("_rn", (offset_col + F.col("_lrn")).cast("long"))
-        .drop("_pid", "_lrn")
+        local.withColumn("_rn", (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
     )
 
 

@@ -72,3 +72,29 @@ def resolve_zones(
 def dedup_eligible(df: DataFrame, zone_col: str = "zone") -> DataFrame:
     """P6: only DEDUP_ZONES rows enter duplicate grouping; null zone excluded."""
     return df.filter(F.col(zone_col).isin(*DEDUP_ZONES))
+
+
+def group_dedup_gate(
+    df: DataFrame, hash_col: str, zone_col: str = "zone"
+) -> DataFrame:
+    """Mixed-zone duplicate-GROUP handling (docs/shared/DEDUPLICATION.md:59-77):
+    a duplicate group containing ANY member whose zone blocks dedup is
+    skipped ENTIRELY — eligible members of a mixed group must not be
+    flagged, because the blocked copy may be the one the user relies on.
+
+    Distributed form: per-group max of the blocking predicate (one
+    partial-aggregated shuffle on the hash key) joined back, then a plain
+    filter. Adds `group_blocked` before filtering so callers can audit
+    what was skipped; returns only rows of groups where no member blocks.
+    """
+    blocks = ~F.col(zone_col).isin(*DEDUP_ZONES) | F.col(zone_col).isNull()
+    flags = (
+        df.withColumn("_blocks", blocks)
+        .groupBy(hash_col)
+        .agg(F.max("_blocks").alias("group_blocked"))
+    )
+    return (
+        df.join(flags, hash_col)
+        .filter(~F.col("group_blocked"))
+        .drop("group_blocked")
+    )

@@ -56,8 +56,10 @@ def psnr_verify_edges(
     per edge on the pair key, and pair rows inside each partition with a
     sort-within-partitions + carry-aware mapInPandas — shuffle traffic is
     2 payloads/edge total and nothing byte-sized is ever sorted globally.
-    At scales where the side map outgrows broadcast, bucket the images
-    table by id so the map join is shuffle-free.
+    When the edge set exceeds cfg.psnr_broadcast_max_edges the side map
+    would blow the broadcast limit, so the map join falls back to a
+    shuffle hash join keyed on id (same 2-payloads/edge bound; only the
+    join strategy changes — identical output on both paths, test-gated).
 
     This is the only stage after s1 that touches pixels. Pairs whose
     decoded shapes differ are dropped (not a duplicate), identical pixels
@@ -82,9 +84,23 @@ def psnr_verify_edges(
             )
         )
     )
-    payload = images.select(id_col, bytes_col).join(
-        F.broadcast(side_map), id_col
-    ).select("src", "dst", "_side", F.col(bytes_col).alias("_b"))
+    # A duplicate image_id (re-ingested bytes upstream of exact dedup) would
+    # emit >2 rows per (src,dst) group and the adjacent-pair walk below
+    # could compare two copies of the SAME side (PSNR=inf, false pass) while
+    # dropping the true cross-image comparison — dedup ids defensively.
+    uniq_images = images.select(id_col, bytes_col).dropDuplicates([id_col])
+    # Side-map join strategy: broadcast while the surviving edge set is
+    # small (the common case — signature verification already filtered);
+    # past the configured bound the map outgrows broadcast, so switch to a
+    # shuffle hash join keyed on id. Identical output either way.
+    n_edges = pairs.count()
+    if n_edges <= cfg.psnr_broadcast_max_edges:
+        joined = uniq_images.join(F.broadcast(side_map), id_col)
+    else:
+        joined = uniq_images.join(side_map, id_col)
+    payload = joined.select(
+        "src", "dst", "_side", F.col(bytes_col).alias("_b")
+    )
 
     def pair_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry = None  # a pair can straddle Arrow batch boundaries

@@ -52,6 +52,7 @@ def flag_duplicates_stateful(
     stream: DataFrame,
     hash_col: str = "content_sha256",
     id_col: str = "event_id",
+    order_within_batch: bool = False,
 ) -> DataFrame:
     """Streaming first-wins duplicate FLAGGING with explicit keyed state.
 
@@ -64,6 +65,13 @@ def flag_duplicates_stateful(
     State outlives micro-batches (checkpointed by the engine); a
     production deployment adds a timeout to bound it the way the batch
     path's watermark does.
+
+    order_within_batch=True sorts each key's rows by `id_col` before
+    flagging — "first" then means min-id-first within a micro-batch (and
+    exactly the batch W1 window semantics when the whole input arrives in
+    one availableNow batch), making the output deterministic under any
+    partitioning; the default keeps raw arrival order (the reference's
+    OutputService semantics, where arrival order IS the contract).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -77,6 +85,9 @@ def flag_duplicates_stateful(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (first_id, n_seen) = state.get if state.exists else (None, 0)
+        if order_within_batch:
+            merged = pd.concat(list(pdfs), ignore_index=True)
+            pdfs = iter([merged.sort_values(id_col)])
         for pdf in pdfs:
             ids = pdf[id_col].tolist()
             rows = []
