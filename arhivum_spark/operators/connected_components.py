@@ -1,24 +1,34 @@
-"""Connected components over an edge list via iterative min-label propagation.
+"""Connected components over an edge list.
 
 Replaces the reference's greedy O(n^2) transitive grouping with a
 processed-set (CodeProjectDuplicateDetectionService.java:48-95) — that loop
-IS small-scale connected components; here it's the distributed version:
+IS small-scale connected components; here it's the distributed version.
 
-    label(v) <- min(label(v), min_{(u,v) in E} label(u))
+Two algorithms:
 
-iterated to fixpoint. Each iteration is one join + one aggregation;
-`localCheckpoint()` truncates lineage per iteration (north rule:
-checkpointed lineage). Convergence is O(component diameter); our candidate
-edges are hub-stars (operators/lsh.py), so diameters are small constants.
-For adversarial long-chain graphs switch to large-star/small-star
-(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-— same primitives, O(log n) rounds.
+- min-label propagation (`connected_components`, the default):
+      label(v) <- min(label(v), min_{(u,v) in E} label(u))
+  iterated to fixpoint — one join + one aggregation per round,
+  `localCheckpoint()` truncates lineage (north rule: checkpointed
+  lineage). Converges in O(component diameter) rounds; our candidate
+  edges are hub-stars (operators/lsh.py), so diameters are small
+  constants and this is the cheapest plan.
+- alternating large-star / small-star (`connected_components_star`,
+  Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): O(log^2 n) rounds regardless of diameter — the adversarial
+  long-chain fallback. When label propagation exhausts max_iters it
+  DELEGATES here (never returns partial labels); pass
+  fallback_star=False to get a ConvergenceError instead.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 class ConvergenceError(RuntimeError):
@@ -35,6 +45,7 @@ def connected_components(
     edges: DataFrame,
     max_iters: int = 50,
     id_col: str = "id",
+    fallback_star: bool = True,
 ) -> DataFrame:
     """vertices(id), edges(src,dst) -> (id, component) with component =
     min vertex id reachable. Vertices absent from edges keep component=id.
@@ -43,10 +54,12 @@ def connected_components(
     PROPAGATE labels (so an out-of-vertex node can bridge two vertices)
     but are not emitted.
 
-    Raises ConvergenceError if max_iters rounds pass with labels still
-    changing (component diameter > max_iters — e.g. an adversarial chain);
-    callers needing guaranteed O(log n) rounds on such graphs should raise
-    max_iters or pre-contract the graph (large-star/small-star, SoCC'14).
+    If max_iters rounds pass with labels still changing (component
+    diameter > max_iters — e.g. an adversarial chain), the partial labels
+    are NEVER returned: with fallback_star=True (default) the computation
+    is redone by the O(log^2 n)-round star algorithm
+    (connected_components_star, identical output contract); otherwise
+    ConvergenceError is raised.
     """
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -88,13 +101,115 @@ def connected_components(
         if n_changed == 0:
             break
     if n_changed != 0:
+        if fallback_star:
+            log.warning(
+                "connected_components: label propagation did not converge "
+                "in %d iterations (%d labels still changing) — falling "
+                "back to the large-star/small-star algorithm",
+                max_iters, n_changed,
+            )
+            return connected_components_star(vertices, edges, id_col=id_col)
         raise ConvergenceError(
             f"connected_components did not converge in {max_iters} "
             f"iterations ({n_changed} labels still changing); component "
-            "diameter exceeds max_iters — raise cc_max_iters or contract "
-            "the graph first"
+            "diameter exceeds max_iters — raise cc_max_iters or use "
+            "connected_components_star"
         )
     emitted = labels.select(F.col("v").alias(id_col), "component").join(
         vertices.select(id_col), id_col, "left_semi"
+    )
+    return emitted.unionByName(isolated)
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 64,
+    id_col: str = "id",
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., SoCC'14) — O(log^2 n) rounds independent of
+    component diameter. Same contract as connected_components.
+
+    One round = large-star (every node hooks its larger neighbors onto
+    its minimum neighbor) then small-star (every node contracts its
+    smaller-or-equal neighbors onto the minimum). Each phase is a
+    groupBy(min) + join — partial-aggregated map-side, no windows, skew
+    bounded because a hot hub's neighbor list only ever aggregates to
+    one min per node. Convergence = the oriented edge set stops changing
+    (count + order-insensitive hash compared per round, both computed on
+    the checkpointed frame). At the fixpoint every edge is (member ->
+    component-min), i.e. the final star.
+    """
+    # oriented edges (a > b), self-loops dropped
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("a"),
+            F.least("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        # bit_xor: order-insensitive and wrap-free (a SUM of hashes
+        # overflows LongType under ANSI arithmetic)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(e)
+    for _ in range(max_rounds):
+        # large-star: for each node u (over the SYMMETRIC view), let
+        # m = min(N(u) + {u}); hook every STRICTLY LARGER neighbor onto m
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m"))
+        )
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: edges are (a > b); for each a, m = min neighbor;
+        # hook every neighbor (and a itself) onto m
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise ConvergenceError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds — this exceeds the O(log^2 n) bound for any realistic "
+            "graph and indicates a bug or adversarial input"
+        )
+
+    labels = e.select(F.col("a").alias(id_col), F.col("b").alias("component"))
+    hubs = e.select(F.col("b").alias(id_col)).distinct().join(
+        e.select(F.col("a").alias(id_col)), id_col, "left_anti"
+    ).select(id_col, F.col(id_col).alias("component"))
+    touched = labels.unionByName(hubs)
+    emitted = touched.join(vertices.select(id_col), id_col, "left_semi")
+    isolated = vertices.join(touched, id_col, "left_anti").select(
+        F.col(id_col), F.col(id_col).alias("component")
     )
     return emitted.unionByName(isolated)

@@ -167,6 +167,9 @@ def _cap_buckets(bucketed: DataFrame, cap: int) -> DataFrame:
     n_tables * 2^nbits rows — always broadcastable.
 
     Adds `_bn` (pre-cap bucket population)."""
+    # two consumers (size count + the join below) — pin the signature-UDF
+    # output once or the Arrow kernel runs twice
+    bucketed = bucketed.localCheckpoint(eager=False)
     sizes = bucketed.groupBy("table", "bucket").agg(F.count("*").alias("_bn"))
     return bucketed.join(
         F.broadcast(sizes.filter(F.col("_bn") >= 2)), ["table", "bucket"]
@@ -214,24 +217,6 @@ def rhp_bucket_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
-
-
-def pair_cosine_udf():
-    """Arrow-batched exact cosine for verified pairs — one einsum per batch
-    instead of a catalyst zip_with/aggregate per pair (~40x fewer JVM
-    expression evaluations on wide candidate sets)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def pair_cos(
-        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
-    ) -> pd.Series:
-        a = np.array(va.tolist(), dtype=np.float64)
-        b = np.array(vb.tolist(), dtype=np.float64)
-        d = np.einsum("nd,nd->n", a, b)
-        return pd.Series(np.round(d / (na.values * nb.values), 6))
-
-    return pair_cos
 
 
 def rhp_neardup_pairs(

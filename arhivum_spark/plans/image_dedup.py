@@ -84,20 +84,20 @@ def psnr_verify_edges(
             )
         )
     )
-    # A duplicate image_id (re-ingested bytes upstream of exact dedup) would
-    # emit >2 rows per (src,dst) group and the adjacent-pair walk below
-    # could compare two copies of the SAME side (PSNR=inf, false pass) while
-    # dropping the true cross-image comparison — dedup ids defensively.
-    uniq_images = images.select(id_col, bytes_col).dropDuplicates([id_col])
     # Side-map join strategy: broadcast while the surviving edge set is
     # small (the common case — signature verification already filtered);
     # past the configured bound the map outgrows broadcast, so switch to a
     # shuffle hash join keyed on id. Identical output either way.
+    # (NEVER dedup/shuffle the images frame itself here — that moves every
+    # byte payload; duplicate image_ids are instead handled side-aware in
+    # the pair walk below.)
     n_edges = pairs.count()
     if n_edges <= cfg.psnr_broadcast_max_edges:
-        joined = uniq_images.join(F.broadcast(side_map), id_col)
+        joined = images.select(id_col, bytes_col).join(
+            F.broadcast(side_map), id_col
+        )
     else:
-        joined = uniq_images.join(side_map, id_col)
+        joined = images.select(id_col, bytes_col).join(side_map, id_col)
     payload = joined.select(
         "src", "dst", "_side", F.col(bytes_col).alias("_b")
     )
@@ -110,6 +110,7 @@ def psnr_verify_edges(
                 carry = None
             src = pdf["src"].to_numpy()
             dst = pdf["dst"].to_numpy()
+            side = pdf["_side"].to_numpy()
             blobs = pdf["_b"].to_numpy()
             n = len(src)
             out_src, out_dst, out_psnr = [], [], []
@@ -118,7 +119,16 @@ def psnr_verify_edges(
                 if i == n - 1:
                     carry = pdf.iloc[[i]]
                     break
-                if src[i] == src[i + 1] and dst[i] == dst[i + 1]:
+                # side-aware pairing: a duplicate image_id upstream emits
+                # >2 rows per (src,dst) — requiring side 0 then side 1
+                # guarantees a cross-image comparison and never compares
+                # two copies of the same side (PSNR=inf false pass)
+                if (
+                    src[i] == src[i + 1]
+                    and dst[i] == dst[i + 1]
+                    and side[i] == 0
+                    and side[i + 1] == 1
+                ):
                     try:
                         pa = _decode_any(bytes(blobs[i]), "")
                         pb = _decode_any(bytes(blobs[i + 1]), "")

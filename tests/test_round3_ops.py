@@ -18,21 +18,63 @@ from tests.conftest import SF_ORACLE_DIR
 # Connected components: non-convergence must raise, not return wrong labels
 
 
-def test_cc_raises_on_long_chain(spark):
+def _chain(spark, n):
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    return vertices, edges
+
+
+def test_cc_long_chain_never_returns_partial_labels(spark):
     from arhivum_spark.operators.connected_components import (
         ConvergenceError,
         connected_components,
     )
 
     n = 12  # chain 0-1-2-...-11: diameter 11 > max_iters=5
-    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
-    edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
-    )
+    vertices, edges = _chain(spark, n)
     with pytest.raises(ConvergenceError):
-        connected_components(vertices, edges, max_iters=5, id_col="id")
-    # and with enough iterations the same chain converges to one component
+        connected_components(
+            vertices, edges, max_iters=5, id_col="id", fallback_star=False
+        )
+    # default: delegates to the star algorithm, result still correct
+    comp = connected_components(vertices, edges, max_iters=5, id_col="id")
+    assert {r["component"] for r in comp.collect()} == {0}
+    # and with enough iterations label propagation converges on its own
     comp = connected_components(vertices, edges, max_iters=n, id_col="id")
+    assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_cc_star_matches_label_propagation(spark):
+    import random
+
+    from arhivum_spark.operators.connected_components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(23)
+    n = 300
+    # random sparse graph: many components of varying shapes + isolates
+    edges = [
+        (random.randrange(n), random.randrange(n)) for _ in range(200)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    lab = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, edf, id_col="id").collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(vertices, edf, id_col="id").collect()
+    }
+    assert lab == star
+    # star handles a pathological chain in O(log n) rounds
+    v2, e2 = _chain(spark, 200)
+    comp = connected_components_star(v2, e2, max_rounds=20, id_col="id")
     assert {r["component"] for r in comp.collect()} == {0}
 
 
@@ -107,6 +149,35 @@ def test_emb_valve_bounds_identical_vector_cohort(spark):
     # `cap` members -> O(n_tables * cap^2) pairs, nowhere near n^2/2
     assert 0 < c <= 2 * cap * cap
     assert c < n * (n - 1) // 2 / 100
+
+
+def test_stacked_planes_match_per_table_reference(spark):
+    """rhp_table_buckets (one stacked einsum over all tables) must be
+    bit-identical to the readable per-table rhp_signature path it
+    replaced — guards the seed/stacking arithmetic."""
+    from arhivum_spark.operators import embeddings as E
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(12)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    base = E.with_norm(df).select(
+        F.col("vec_id").alias("_cid"), "vecd"
+    )
+    nbits, n_tables, seed = 3, 4, 17
+    stacked = {
+        (r["_cid"], r["table"]): r["bucket"]
+        for r in E.rhp_table_buckets(base, 12, nbits, n_tables, seed).collect()
+    }
+    for t in range(n_tables):
+        planes = E.hyperplanes(12, nbits, seed=seed + 1000 * t)
+        ref = {
+            r["_cid"]: r["bucket"]
+            for r in E.rhp_signature(base, planes).collect()
+        }
+        for cid, b in ref.items():
+            assert stacked[(cid, t)] == b
 
 
 def test_emb_star_edges_recover_planted_clusters(spark):
