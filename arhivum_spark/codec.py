@@ -129,6 +129,36 @@ def parse_exif_trailer(data: bytes) -> dict | None:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Deterministic audio container (stand-in for WAV/FLAC, the audio leg of the
+# multimodal triad). Real decoders (soundfile/pyav) are absent from this
+# container; this codec exercises the full Spark plumbing — schema, Arrow
+# batching, one-to-many frame explode — with a real round-trip, and
+# multimodal.decode_external stays the swap-in point for production codecs.
+
+MAGIC_AUDIO = b"ARVA"
+_AHDR = struct.Struct("<4sIH")  # magic, sample_rate, channels
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """samples: (n,) or (n, channels) int16 -> container bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    return _AHDR.pack(MAGIC_AUDIO, sample_rate, ch) + zlib.compress(
+        samples.astype("<i2").tobytes(), 6
+    )
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Container bytes -> ((n, channels) int16 samples, sample_rate)."""
+    magic, rate, ch = _AHDR.unpack_from(data, 0)
+    if magic != MAGIC_AUDIO:
+        raise ValueError(f"unknown audio magic: {magic!r}")
+    raw = zlib.decompress(data[_AHDR.size :])
+    return np.frombuffer(raw, dtype="<i2").reshape(-1, ch), rate
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     diff = a.astype(np.float64) - b.astype(np.float64)

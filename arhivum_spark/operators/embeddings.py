@@ -497,6 +497,111 @@ def fixed_centroid_assign(
     )
 
 
+def ivf_probe_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-probe approximate top-k: the inverted-file search path that
+    complements brute force (exact baseline) and hyperplane LSH.
+
+    Corpus rows are assigned to `n_cells` Lloyd's cells (centroid_assign's
+    kernel); each query ranks ONLY the rows in the `nprobe` cells whose
+    centroids are nearest to it — candidates per query ~ nprobe/n_cells of
+    the corpus. Scale shape: the driver holds k x d centroids and the
+    (tiny) query set; the corpus is touched by one cell-assignment pass
+    and one equi-join on cell — never collected, never crossJoined.
+    nprobe = n_cells degenerates to exact search (tested).
+    """
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("_cid"), "vecd", "norm"
+    )
+    # centroids via the shared Lloyd's kernel (deterministic seeded init)
+    init = (
+        base.withColumn("_h", F.xxhash64(F.col("_cid").cast("string"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select("vecd")
+        .collect()
+    )
+    cents = np.array([list(r[0]) for r in init], dtype=np.float64)
+    for _ in range(n_iters):
+        assigned = base.withColumn("cell", _assign_udf(cents)("vecd"))
+        sums = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("vecd", i + 1)).alias(f"s{i}")
+                    for i in range(cents.shape[1])
+                ],
+            )
+            .collect()
+        )
+        for r in sums:
+            cents[r["cell"]] = [r[f"s{i}"] / r["n"] for i in range(cents.shape[1])]
+
+    celled = base.withColumn("cell", _assign_udf(cents)("vecd"))
+    # probe cells per query: query set is small by contract -> driver-side
+    # argsort against the k x d centroid matrix, broadcast back as a frame
+    qrows = (
+        celled.join(query_ids.select(F.col(id_col).alias("_cid")), "_cid")
+        .select("_cid", "vecd", "norm")
+        .collect()
+    )
+    spark = df.sparkSession
+    probe_rows = []
+    c2 = (cents * cents).sum(axis=1)
+    for r in qrows:
+        q = np.array(list(r["vecd"]), dtype=np.float64)
+        dist = c2 - 2 * np.einsum("kd,d->k", cents, q)
+        for cell in np.argsort(dist, kind="stable")[:nprobe]:
+            probe_rows.append((r["_cid"], int(cell)))
+    probes = spark.createDataFrame(
+        probe_rows, schema=f"query_id {dict(df.dtypes)[id_col]}, cell int"
+    )
+    q = (
+        celled.join(
+            F.broadcast(
+                probes.select(F.col("query_id").alias("_cid")).distinct()
+            ),
+            "_cid",
+        )
+        .select(
+            F.col("_cid").alias("query_id"),
+            F.col("vecd").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        )
+        .join(F.broadcast(probes), "query_id")
+    )
+    cands = (
+        celled.join(F.broadcast(q), "cell")
+        .filter(F.col("_cid") != F.col("query_id"))
+        .dropDuplicates(["query_id", "_cid"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("_cid"))
+    return (
+        cands.withColumn(
+            "cosine",
+            F.round(_dot("vecd", "qvec") / (F.col("norm") * F.col("qnorm")), 6),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("_cid").alias("neighbor_id"),
+            "cosine",
+            F.col("rk").alias("rank"),
+        )
+    )
+
+
 def centroid_assign(
     df: DataFrame,
     n_iters: int = 5,

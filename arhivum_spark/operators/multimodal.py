@@ -220,6 +220,81 @@ def sample_frames(
     return df.select(id_col, bytes_col).mapInPandas(sample, schema=schema)
 
 
+def audio_meta(
+    df: DataFrame, bytes_col: str = "bytes", id_col: str = "audio_id"
+) -> DataFrame:
+    """Audio leg of the multimodal triad: decode each clip once, emit typed
+    metadata + cheap content features (duration, RMS level). Undecodable
+    rows get ok=false (continue-past-errors contract). Arrow-batched;
+    bytes projected away after the pass — same rules as attach_media_meta.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, sample_rate int, channels int, n_samples int,"
+        " duration_s double, rms double, ok boolean"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    samples, rate = codec.decode_audio(bytes(raw))
+                    x = samples.astype(np.float64)
+                    rows.append(
+                        (
+                            rid, rate, samples.shape[1], samples.shape[0],
+                            round(samples.shape[0] / rate, 6),
+                            round(float(np.sqrt(np.mean(x * x))), 4),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append((rid, -1, -1, -1, float("nan"), float("nan"), False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "channels", "n_samples",
+                    "duration_s", "rms", "ok",
+                ],
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(extract, schema=schema)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    frame_ms: int = 100,
+    bytes_col: str = "bytes",
+    id_col: str = "audio_id",
+) -> DataFrame:
+    """Per-frame RMS energy — one output row per frame (the audio analogue
+    of sample_frames' one-to-many UDTF shape; feeds VAD / silence trimming
+    in a real pipeline). Frame boundaries are sample-exact; a trailing
+    partial frame is kept."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, frame_index int, frame_rms double"
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                samples, rate = codec.decode_audio(bytes(raw))
+                mono = samples.astype(np.float64).mean(axis=1)
+                step = max(1, rate * frame_ms // 1000)
+                for fi in range(0, len(mono), step):
+                    frame = mono[fi : fi + step]
+                    out.append(
+                        (rid, fi // step,
+                         round(float(np.sqrt(np.mean(frame * frame))), 4))
+                    )
+            yield pd.DataFrame(
+                out, columns=[id_col, "frame_index", "frame_rms"]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(frames, schema=schema)
+
+
 def exif_fields_for_id(i: int) -> dict | None:
     """Deterministic EXIF field dict for synthetic image id `i` — every
     field a pure function of the id so the DuckDB oracle predicts the full

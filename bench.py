@@ -56,6 +56,25 @@ def _sf_from_dir(d: str) -> float:
 def main() -> None:
     spark = get_spark("arhivum_bench", cores=CPUS, shuffle_partitions=CPUS)
 
+    # Warm the Python-UDF worker pool BEFORE the query loop, exactly as the
+    # pipeline section below and bench_scaling.py already do — otherwise
+    # the first registry query absorbs ~4-5 s of per-process numpy/pandas
+    # import cost that a long-lived cluster amortizes to zero, and
+    # round-over-round per-query comparisons are skewed by registry order.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm_udf(x):
+        import numpy as _np  # noqa: F401
+
+        return x * 1.0
+
+    warm_df = spark.range(64 * CPUS).repartition(2 * CPUS).select(
+        _warm_udf(F.col("id").cast("double")).alias("v")
+    )
+    warm_df.write.format("noop").mode("overwrite").save()
+
     query_secs: dict[str, float] = {}
     for name, (fn, _sql) in REGISTRY.items():
         t0 = time.time()

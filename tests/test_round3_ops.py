@@ -261,6 +261,48 @@ def test_simhash_batch_matches_scalar_reference():
 
 
 # ---------------------------------------------------------------------------
+# Audio multimodal plumbing (deterministic fake codec, real Spark shapes)
+
+
+def test_audio_meta_and_frames(spark):
+    from arhivum_spark import codec
+    from arhivum_spark.operators.multimodal import (
+        audio_frame_energy,
+        audio_meta,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(6):
+        n = 1600 * (i + 1)  # 0.1s .. 0.6s at 16 kHz
+        samples = (rng.standard_normal((n, 2)) * 1000).astype(np.int16)
+        rows.append((i, codec.encode_audio(samples, 16000)))
+    rows.append((99, b"not-audio"))  # undecodable -> ok=false, job survives
+    df = spark.createDataFrame(rows, "audio_id int, bytes binary")
+
+    meta = {r["audio_id"]: r for r in audio_meta(df).collect()}
+    assert len(meta) == 7
+    assert not meta[99]["ok"]
+    for i in range(6):
+        m = meta[i]
+        assert m["ok"] and m["sample_rate"] == 16000 and m["channels"] == 2
+        assert m["n_samples"] == 1600 * (i + 1)
+        assert abs(m["duration_s"] - 0.1 * (i + 1)) < 1e-6
+        assert m["rms"] > 0
+
+    fr = audio_frame_energy(
+        df.filter(F.col("audio_id") < 90), frame_ms=100
+    ).collect()
+    per_clip = {}
+    for r in fr:
+        per_clip.setdefault(r["audio_id"], []).append(r)
+    # 0.1s frames at 16 kHz -> clip i has exactly i+1 full frames
+    for i in range(6):
+        assert len(per_clip[i]) == i + 1
+        assert all(x["frame_rms"] > 0 for x in per_clip[i])
+
+
+# ---------------------------------------------------------------------------
 # Recall guards for every approximate operator registered against an exact
 # oracle (ADVICE round 2): fail with a NUMBER when corpus/config drifts.
 
@@ -303,6 +345,44 @@ def test_recall_guard_emb_ann_topk(spark, emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall == 1.0, f"ANN recall drifted: {recall:.4f}"
+
+
+def test_ivf_probe_topk(spark, emb):
+    from arhivum_spark.operators import embeddings as E
+
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in E.cosine_topk(emb, qids, k=5).collect()
+    )
+    # probing every cell degenerates to exact search
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in E.ivf_probe_topk(
+            emb, qids, k=5, n_cells=8, nprobe=8
+        ).collect()
+    )
+    assert full == exact
+    # planted near-identical neighbors land in the query's own cell:
+    # nprobe=1 must find them
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(10):
+        center = rng.standard_normal(16)
+        rows.append((i * 10, [float(x) for x in center]))
+        rows.append(
+            (i * 10 + 1, [float(x) for x in center + rng.standard_normal(16) * 1e-3])
+        )
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    qids2 = df.select("vec_id").filter(F.col("vec_id") % 10 == 0)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in E.ivf_probe_topk(
+            df, qids2, k=1, n_cells=4, nprobe=1, seed=7
+        ).collect()
+    }
+    for i in range(10):
+        assert got[(i * 10, 1)] == i * 10 + 1
 
 
 def test_recall_guard_docs_minhash_lsh(spark):
