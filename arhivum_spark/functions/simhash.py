@@ -16,8 +16,10 @@ row-at-a-time class the gram kernel fix removed). `simhash64` remains the
 scalar reference implementation; tests assert the batch kernel matches it
 bit-for-bit.
 
-Tokenization contract: ASCII whitespace (space/tab/LF/CR), runs collapsed —
-matches str.split() for ASCII input.
+Tokenization contract: ASCII whitespace (space/tab/LF/CR/VT/FF), runs
+collapsed. This is NARROWER than str.split(), which also treats
+\x1c-\x1f and unicode spaces as separators — the byte-scan kernel owns
+the contract; tests tokenize with the same class.
 """
 
 from __future__ import annotations
@@ -91,7 +93,10 @@ def simhash_batch(captions: list[str]) -> np.ndarray:
     data = b"\x00".join(("" if c is None else c).encode() for c in captions)
     arr = np.frombuffer(data + b"\x00", dtype=np.uint8)
     is_nul = arr == 0
-    is_sep = is_nul | (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
+    is_sep = (
+        is_nul | (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
+        | (arr == 11) | (arr == 12)
+    )
     nonsep = ~is_sep
     if not nonsep.any():
         return out
@@ -136,16 +141,20 @@ def simhash_batch(captions: list[str]) -> np.ndarray:
             bits = (
                 (tok_hash[t0:t1, None] >> _BITS[None, :]) & np.uint64(1)
             ).astype(np.int64)
-            # reduceat offsets need values < len(bits); zero-token docs
-            # repeat an offset (garbage row) — masked out below
-            seg = np.minimum(tok_offsets[d0:d1] - t0, t1 - t0 - 1)
+            # reduceat offsets must be strictly valid: zero-token docs are
+            # DROPPED from the segment list (their offset would duplicate a
+            # neighbor's — or, for a trailing empty doc, equal len(bits)
+            # and corrupt the previous doc's segment when clipped) and
+            # their output stays 0; results scatter back via `present`.
+            nchunk = n_tok[d0:d1]
+            present = np.flatnonzero(nchunk > 0)
+            seg = (tok_offsets[d0:d1] - t0)[present]
             ones = np.add.reduceat(bits, seg, axis=0)
-            sig_bits = 2 * ones > n_tok[d0:d1, None]
-            sig_bits[n_tok[d0:d1] == 0] = False
+            sig_bits = 2 * ones > nchunk[present, None]
             packed = (sig_bits.astype(np.uint64) << _BITS[None, :]).sum(
                 axis=1, dtype=np.uint64
             )
-            out[d0:d1] = packed.view(np.int64)
+            out[d0 + present] = packed.view(np.int64)
         d0 = d1
     return out
 

@@ -213,11 +213,15 @@ def _gram_hash_batch(texts: list[str], ngram: int) -> list[np.ndarray]:
     data = b"\x00".join(t.encode() for t in texts) + b"\x00"
     arr = np.frombuffer(data, dtype=np.uint8)
     is_nul = arr == 0
-    # Tokenization contract: split on ASCII whitespace — space/tab/LF/CR
-    # (all single bytes in UTF-8, so the vectorized scan handles them for
-    # free); runs of separators collapse, matching str.split() for ASCII
-    # whitespace. Unicode-only spaces (NBSP etc.) are NOT separators.
-    is_sep = is_nul | (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
+    # Tokenization contract: split on ASCII whitespace — space/tab/LF/CR/
+    # VT/FF (all single bytes in UTF-8, so the vectorized scan handles
+    # them for free); runs of separators collapse. NARROWER than
+    # str.split(): \x1c-\x1f and unicode-only spaces (NBSP etc.) are NOT
+    # separators here.
+    is_sep = (
+        is_nul | (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
+        | (arr == 11) | (arr == 12)
+    )
     nonsep = ~is_sep
     if not nonsep.any():
         return [np.array([_EMPTY_SENTINEL]) for _ in range(n_docs)]

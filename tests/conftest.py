@@ -15,8 +15,14 @@ SF_TEST_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
 SF_ORACLE_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def get_shared_spark():
+    """Session-wide SparkSession for non-fixture consumers (hypothesis
+    @given tests can't take pytest fixtures per-example)."""
+    return get_spark("arhivum_spark_tests", cores=8, shuffle_partitions=8)
+
+
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("arhivum_spark_tests", cores=8, shuffle_partitions=8)
+    s = get_shared_spark()
     yield s
     s.stop()
