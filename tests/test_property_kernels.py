@@ -110,10 +110,12 @@ def test_gram_hash_batch_equals_reference(docs, ngram):
     )
 )
 def test_star_cc_equals_union_find(edges):
-    """connected_components_star against a classic driver-side union-find
-    on arbitrary small graphs (run on a shared local session)."""
+    """connected_components_star AND the default label-prop+pointer-jump
+    algorithm against a classic driver-side union-find on arbitrary small
+    graphs (run on a shared local session)."""
     from tests.conftest import get_shared_spark
     from arhivum_spark.operators.connected_components import (
+        connected_components,
         connected_components_star,
     )
 
@@ -144,3 +146,10 @@ def test_star_cc_equals_union_find(edges):
         for r in connected_components_star(vertices, edf, id_col="id").collect()
     }
     assert got == expect
+    got_lp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            vertices, edf, id_col="id", fallback_star=False
+        ).collect()
+    }
+    assert got_lp == expect

@@ -32,17 +32,20 @@ def test_cc_long_chain_never_returns_partial_labels(spark):
         connected_components,
     )
 
-    n = 12  # chain 0-1-2-...-11: diameter 11 > max_iters=5
+    # pointer jumping halves label-path length per round, so a diameter-d
+    # chain converges in ~log2(d) rounds; with max_iters=2 a chain of 40
+    # (diameter 39) cannot finish.
+    n = 40
     vertices, edges = _chain(spark, n)
     with pytest.raises(ConvergenceError):
         connected_components(
-            vertices, edges, max_iters=5, id_col="id", fallback_star=False
+            vertices, edges, max_iters=2, id_col="id", fallback_star=False
         )
     # default: delegates to the star algorithm, result still correct
-    comp = connected_components(vertices, edges, max_iters=5, id_col="id")
+    comp = connected_components(vertices, edges, max_iters=2, id_col="id")
     assert {r["component"] for r in comp.collect()} == {0}
-    # and with enough iterations label propagation converges on its own
-    comp = connected_components(vertices, edges, max_iters=n, id_col="id")
+    # with pointer jumping, O(log d) iterations suffice on their own
+    comp = connected_components(vertices, edges, max_iters=9, id_col="id")
     assert {r["component"] for r in comp.collect()} == {0}
 
 
