@@ -6,20 +6,23 @@ IS small-scale connected components; here it's the distributed version.
 
 Two algorithms:
 
-- min-label propagation with pointer jumping (`connected_components`,
-  the default): each round does
+- min-label propagation with ADAPTIVE pointer jumping
+  (`connected_components`, the default): each round does
       label(v) <- min(label(v), min_{(u,v) in E} label(u))   (hop)
+  and, from round `jump_after` on,
       label(v) <- label(label(v))                            (jump)
   iterated to fixpoint — joins + one aggregation per round,
   `localCheckpoint()` truncates lineage (north rule: checkpointed
   lineage). The jump step halves the remaining label-path each round,
-  so convergence is O(log diameter) rounds, not O(diameter) — measured
-  17 -> 6 rounds on a diameter-16 residue-class graph. Labels are
-  always ids of touched vertices and only ever decrease, so the jump
-  self-join is total and monotone. Our candidate edges are hub-stars
-  (operators/lsh.py) with constant diameter, where this costs one extra
-  small join; on long chains it is the difference between O(d) and
-  O(log d) Spark jobs.
+  so convergence is O(log diameter) rounds, not O(diameter) — measured:
+  a diameter-63 chain converges in 7 all-jump rounds vs ~63 hop-only.
+  The jump is a full self-join (one extra shuffle of the labels frame
+  per round), which is pure cost on our dominant workload — hub-star
+  candidate edges (operators/lsh.py) converge in <= 3 hop-only rounds —
+  so the first `jump_after` rounds skip it and only a graph that is
+  still moving afterwards (deep components) pays for the logarithmic
+  gear. Labels are always ids of touched vertices and only ever
+  decrease, so the jump self-join is total and monotone.
 - alternating large-star / small-star (`connected_components_star`,
   Kiveris et al., "Connected Components in MapReduce and Beyond",
   SoCC'14): O(log^2 n) rounds regardless of diameter — the adversarial
@@ -53,6 +56,7 @@ def connected_components(
     max_iters: int = 50,
     id_col: str = "id",
     fallback_star: bool = True,
+    jump_after: int = 3,
 ) -> DataFrame:
     """vertices(id), edges(src,dst) -> (id, component) with component =
     min vertex id reachable. Vertices absent from edges keep component=id.
@@ -61,8 +65,13 @@ def connected_components(
     PROPAGATE labels (so an out-of-vertex node can bridge two vertices)
     but are not emitted.
 
+    Rounds 0..jump_after-1 are plain min-label hops (enough for the
+    hub-star graphs the dedup pipelines feed in); afterwards each round
+    adds a pointer jump, giving O(jump_after + log diameter) rounds on
+    deep components.
+
     If max_iters rounds pass with labels still changing (component
-    diameter > max_iters — e.g. an adversarial chain), the partial labels
+    diameter too deep for the round budget), the partial labels
     are NEVER returned: with fallback_star=True (default) the computation
     is redone by the O(log^2 n)-round star algorithm
     (connected_components_star, identical output contract); otherwise
@@ -86,7 +95,7 @@ def connected_components(
         F.col(id_col).alias("v"), F.col(id_col).alias("component")
     ).localCheckpoint()
     n_changed = 0
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.a == labels.v)
             .groupBy(F.col("b").alias("v2"))
@@ -102,24 +111,33 @@ def connected_components(
                 F.coalesce(F.col("nbr_component"), F.col("component")),
             ).alias("_hop"),
         )
-        # pointer jump: component <- component(component). Every label is
-        # the id of a touched vertex (mins over sym endpoints + self), so
-        # the self-join is total; labels are monotone non-increasing, so
-        # the jump can only improve. This halves remaining label-path
-        # length per round => O(log diameter) rounds overall.
-        jump_map = hopped.select(
-            F.col("v").alias("_jv"), F.col("_hop").alias("_jc")
-        )
-        updated = (
-            hopped.join(jump_map, hopped._hop == jump_map._jv, "left")
-            .select(
+        if it < jump_after:
+            # hop-only: hub-star graphs finish here without ever paying
+            # for the jump's extra labels-frame shuffle
+            stepped = hopped.select(
+                "v", F.col("_hop").alias("component"), "_old"
+            )
+        else:
+            # pointer jump: component <- component(component). Every
+            # label is the id of a touched vertex (mins over sym
+            # endpoints + self), so the self-join is total; labels are
+            # monotone non-increasing, so the jump can only improve.
+            # Halves remaining label-path length per round => O(log
+            # diameter) rounds from here on.
+            jump_map = hopped.select(
+                F.col("v").alias("_jv"), F.col("_hop").alias("_jc")
+            )
+            stepped = hopped.join(
+                jump_map, hopped._hop == jump_map._jv, "left"
+            ).select(
                 "v",
                 F.least(
                     F.col("_hop"), F.coalesce(F.col("_jc"), F.col("_hop"))
                 ).alias("component"),
                 F.col("_old"),
             )
-            .withColumn("_changed", F.col("component") < F.col("_old"))
+        updated = (
+            stepped.withColumn("_changed", F.col("component") < F.col("_old"))
             .drop("_old")
         ).localCheckpoint()
         n_changed = updated.filter(F.col("_changed")).count()
