@@ -153,3 +153,127 @@ def test_star_cc_equals_union_find(edges):
         ).collect()
     }
     assert got_lp == expect
+
+
+# ---------------------------------------------------------------------------
+# Suffix array kernels vs naive oracles (arbitrary small inputs)
+
+byte_strings = st.lists(
+    st.integers(min_value=0, max_value=7), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(byte_strings)
+def test_suffix_array_equals_sorted_suffixes(symbols):
+    """build_suffix_array (prefix doubling) against the definitional
+    sort-all-suffixes oracle. Tiny alphabet (0..7) maximizes ties, the
+    regime where doubling-rank bugs hide."""
+    from arhivum_spark.functions import suffix_array as sa
+
+    s = np.array(symbols, dtype=np.int64)
+    got = list(sa.build_suffix_array(s))
+    expect = sorted(range(len(symbols)), key=lambda i: symbols[i:])
+    assert got == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(byte_strings, st.lists(st.integers(min_value=0, max_value=7),
+                              min_size=1, max_size=6))
+def test_contains_query_equals_substring_search(symbols, query):
+    from arhivum_spark.functions import suffix_array as sa
+
+    s = np.array(symbols, dtype=np.int64)
+    arr = sa.build_suffix_array(s)
+    q = np.array(query, dtype=np.int64)
+    expect = bytes(symbols) .find(bytes(query)) != -1
+    assert sa.contains_query(s, arr, q) == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), max_size=10),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_find_contained_equals_naive(doc_lists):
+    """Generalized-suffix-array containment vs the O(n^2 m) definition.
+    Alphabet 0..3 with docs up to length 10 makes real containments
+    common; empty docs exercise the skip path."""
+    from arhivum_spark.functions import suffix_array as sa
+
+    docs = [np.array(d, dtype=np.int64) for d in doc_lists]
+    got = set(sa.find_contained(docs))
+    expect = set()
+    for i, a in enumerate(doc_lists):
+        if not a:
+            continue
+        for j, b in enumerate(doc_lists):
+            if i != j and bytes(b).find(bytes(a)) != -1:
+                expect.add((i, j))
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# MinHash batch kernel: permutation invariance + estimator accuracy
+
+shingle_sets = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=2**31 - 2), min_size=1, max_size=30
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(shingle_sets, st.randoms(use_true_random=False))
+def test_minhash_batch_set_semantics(sets, rnd):
+    """A MinHash signature is a function of the shingle SET: element
+    order and multiplicity must not matter, and batch slicing must not
+    leak state across segments (the reduceat offsets are the sharp
+    edge). Signature values stay inside the 31-bit hash space."""
+    from arhivum_spark.config import DedupConfig
+    from arhivum_spark.functions import minhash as mh
+
+    cfg = DedupConfig()
+    a, b = mh.permutations(cfg.num_perm, cfg.minhash_seed)
+    arrays = [np.array(s, dtype=np.int64) for s in sets]
+    sig = mh.minhash_batch(arrays, a, b)
+    shuffled = []
+    for s in sets:
+        dup = list(s) + [rnd.choice(s)]  # add a duplicate element
+        rnd.shuffle(dup)
+        shuffled.append(np.array(dup, dtype=np.int64))
+    sig2 = mh.minhash_batch(shuffled, a, b)
+    assert np.array_equal(sig, sig2)
+    # one-set-at-a-time equals batched (no cross-segment leakage)
+    for i, arr in enumerate(arrays):
+        assert np.array_equal(mh.minhash(arr, a, b), sig[i])
+    assert sig.min() >= 0 and sig.max() < 2**31 - 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_minhash_estimator_tracks_true_jaccard(seed):
+    """estimate_jaccard within a 128-permutation Chernoff envelope of
+    the true Jaccard for random overlapping sets."""
+    from arhivum_spark.config import DedupConfig
+    from arhivum_spark.functions import minhash as mh
+
+    rng = np.random.default_rng(seed)
+    universe = rng.choice(2**31 - 2, size=400, replace=False)
+    n_shared = int(rng.integers(10, 200))
+    shared = universe[:n_shared]
+    only_a = universe[200:200 + int(rng.integers(1, 100))]
+    only_b = universe[300:300 + int(rng.integers(1, 100))]
+    sa_ = np.unique(np.concatenate([shared, only_a]).astype(np.int64))
+    sb_ = np.unique(np.concatenate([shared, only_b]).astype(np.int64))
+    true_j = len(np.intersect1d(sa_, sb_)) / len(np.union1d(sa_, sb_))
+    cfg = DedupConfig()
+    a, b = mh.permutations(cfg.num_perm, cfg.minhash_seed)
+    est = mh.estimate_jaccard(mh.minhash(sa_, a, b), mh.minhash(sb_, a, b))
+    # k=128 perms: sd <= 0.045; 4 sd ~ 0.18 (one-seed failure prob ~1e-4)
+    assert abs(est - true_j) < 0.18
