@@ -123,7 +123,11 @@ def connected_components(
             # endpoints + self), so the self-join is total; labels are
             # monotone non-increasing, so the jump can only improve.
             # Halves remaining label-path length per round => O(log
-            # diameter) rounds from here on.
+            # diameter) rounds from here on. Pin hopped first: the
+            # self-join references it twice and the static plan
+            # duplicates the hop aggregation under both inputs —
+            # exchange reuse is not guaranteed across AQE stages.
+            hopped = hopped.localCheckpoint()
             jump_map = hopped.select(
                 F.col("v").alias("_jv"), F.col("_hop").alias("_jc")
             )
