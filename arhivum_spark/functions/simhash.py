@@ -90,11 +90,15 @@ def simhash_batch(captions: list[str]) -> np.ndarray:
     out = np.zeros(n_docs, dtype=np.int64)
     if n_docs == 0:
         return out
-    data = b"\x00".join(("" if c is None else c).encode() for c in captions)
-    arr = np.frombuffer(data + b"\x00", dtype=np.uint8)
-    is_nul = arr == 0
+    # Doc boundaries come from per-doc encoded LENGTHS, not a sentinel
+    # byte: an embedded NUL (legal in Spark strings) must hash as an
+    # ordinary token character — exactly as the scalar reference does —
+    # not silently shift every later doc's segment.
+    enc = [("" if c is None else c).encode() for c in captions]
+    lengths = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
+    arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
     is_sep = (
-        is_nul | (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
+        (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
         | (arr == 11) | (arr == 12)
     )
     nonsep = ~is_sep
@@ -104,8 +108,10 @@ def simhash_batch(captions: list[str]) -> np.ndarray:
     prev_sep = np.empty(len(arr), dtype=bool)
     prev_sep[0] = True
     prev_sep[1:] = is_sep[:-1]
+    doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    prev_sep[doc_starts[lengths > 0]] = True  # tokens never span docs
     tok_start = nonsep & prev_sep
-    doc_of_char = np.cumsum(is_nul) - is_nul.astype(np.int64)
+    doc_of_char = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
 
     # token hashes: polynomial over bytes, wrapped mod 2^64
     idx = np.flatnonzero(nonsep)

@@ -77,6 +77,10 @@ def connected_components(
     (connected_components_star, identical output contract); otherwise
     ConvergenceError is raised.
     """
+    if max_iters < 1:
+        # a zero-round run would return all-self labels — exactly the
+        # partial-labels outcome the ConvergenceError guard exists to stop
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))

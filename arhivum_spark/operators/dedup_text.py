@@ -210,16 +210,19 @@ def _gram_hash_batch(texts: list[str], ngram: int) -> list[np.ndarray]:
     n_docs = len(texts)
     if n_docs == 0:
         return []
-    data = b"\x00".join(t.encode() for t in texts) + b"\x00"
-    arr = np.frombuffer(data, dtype=np.uint8)
-    is_nul = arr == 0
+    # Doc boundaries from per-doc encoded LENGTHS, not a sentinel byte:
+    # an embedded NUL is an ordinary token character (it must not shift
+    # later docs' boundaries — the pre-round-4 sentinel scheme did).
+    enc = [t.encode() for t in texts]
+    lengths = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
+    arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
     # Tokenization contract: split on ASCII whitespace — space/tab/LF/CR/
     # VT/FF (all single bytes in UTF-8, so the vectorized scan handles
     # them for free); runs of separators collapse. NARROWER than
     # str.split(): \x1c-\x1f and unicode-only spaces (NBSP etc.) are NOT
     # separators here.
     is_sep = (
-        is_nul | (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
+        (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
         | (arr == 11) | (arr == 12)
     )
     nonsep = ~is_sep
@@ -229,9 +232,10 @@ def _gram_hash_batch(texts: list[str], ngram: int) -> list[np.ndarray]:
     prev_sep = np.empty(len(arr), dtype=bool)
     prev_sep[0] = True
     prev_sep[1:] = is_sep[:-1]
+    doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    prev_sep[doc_starts[lengths > 0]] = True  # tokens never span docs
     tok_start = nonsep & prev_sep  # first char of every token
-    # doc index of every char = count of NULs before it
-    doc_of_char = np.cumsum(is_nul) - is_nul.astype(np.int64)
+    doc_of_char = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
 
     # --- token hashes: polynomial over bytes, wrapped mod 2^64 ---
     idx = np.flatnonzero(nonsep)

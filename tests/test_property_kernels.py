@@ -23,14 +23,13 @@ _TOKEN_RE = re.compile(r"[^ \t\n\r\x0b\x0c]+")
 def _contract_tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
-# text without NUL (the kernel's internal separator can't appear in
-# python strings destined for real corpora anyway) or lone surrogates
-# (not UTF-8 encodable, impossible in Spark string columns)
+# text INCLUDING NUL (legal in Spark strings; the round-4 kernels derive
+# doc boundaries from per-doc lengths so NUL is an ordinary token char) —
+# only lone surrogates excluded (not UTF-8 encodable, impossible in Spark
+# string columns)
 texts = st.lists(
     st.text(
-        alphabet=st.characters(
-            blacklist_characters="\x00", blacklist_categories=("Cs",)
-        ),
+        alphabet=st.characters(blacklist_categories=("Cs",)),
         max_size=60,
     ),
     max_size=12,
@@ -48,6 +47,26 @@ def test_simhash_batch_equals_scalar(caps):
     got = sh.simhash_batch(caps)
     assert got.dtype == np.int64
     assert (got == ref).all()
+
+
+def test_embedded_nul_does_not_shift_doc_boundaries():
+    """Regression (round-4 ADVICE): a caption with an embedded NUL must
+    hash the NUL as an ordinary char (scalar semantics) and must not
+    corrupt LATER docs in the same Arrow batch. The pre-fix sentinel
+    scheme split 'a\\x00b' into two phantom docs, shifting every
+    subsequent signature."""
+    from arhivum_spark.functions import simhash as sh
+    from arhivum_spark.operators.dedup_text import _gram_hash_batch
+
+    caps = ["a\x00b c", "\x00", "x\x00", "plain text", "", "\x00\x00tail"]
+    ref = np.array(
+        [sh.simhash64(_contract_tokens(c)) for c in caps], dtype=np.int64
+    )
+    assert (sh.simhash_batch(caps) == ref).all()
+    # later docs unchanged vs a batch without the NUL-bearing doc
+    assert (sh.simhash_batch(caps[3:]) == ref[3:]).all()
+    for text, g in zip(caps, _gram_hash_batch(caps, 2)):
+        assert set(int(x) for x in g) == _gram_ref(text, 2)
 
 
 def _gram_ref(text: str, ngram: int) -> set:
