@@ -94,12 +94,28 @@ def substring_pairs(
     """Exact token-substring containment: (contained_id, container_id) where
     contained's full token sequence appears contiguously inside container's.
 
-    Distributed generalized-suffix matching: every text emits hashes of all
-    contiguous token windows whose length matches some candidate text's
-    length; candidates (length <= cfg.substring_max_tokens) emit their full
-    hash once. An equi-join on (length, window_hash) finds containments —
-    the shuffle carries only 64-bit keys, never token arrays. Window
-    emission is JVM-side (transform over sequence + slice + xxhash64).
+    Distributed generalized-suffix matching with POWER-OF-TWO ANCHOR
+    windows (round 4 — bounds emission): containers do NOT emit a window
+    per distinct candidate length (O(n_tok x distinct lengths) rows — a
+    10k-token container against 64 candidate lengths emitted ~640k hash
+    rows pre-round-4). Instead, for each candidate length L define the
+    anchor length m(L) = 2^floor(log2 L); since m >= L/2, the candidate's
+    m-token PREFIX and m-token SUFFIX together cover all L tokens, so
+    `container[s : s+L] == candidate` iff the prefix hash matches at
+    window start s AND the suffix hash matches at window start s + L - m.
+    Containers therefore emit windows only at the <= log2(max_tokens)+1
+    distinct anchor lengths actually present among candidates — emission
+    is O(n_tok x log(substring_max_tokens)) per container, independent of
+    how many distinct candidate lengths exist — and two equi-joins (the
+    second keyed on (container, m, aligned start)) replace the one. Both
+    joins carry only 64+128-bit hashes and int positions, never token
+    arrays; the false-positive guard is the same dual xxhash64+md5 as
+    before, now applied to both halves. All emission is JVM-side
+    (sequence/slice/xxhash64). m(L) is computed by the SAME expression on
+    the candidate frame that feeds both the anchor-length broadcast and
+    the join keys, so any floating-point wobble in floor(log2 L) at exact
+    powers of two is self-consistent (and any m in [ceil(L/2), L] is
+    algorithmically valid).
 
     The within-bucket exhaustive variant (true suffix array) is
     substring_pairs_within_groups below.
@@ -109,43 +125,84 @@ def substring_pairs(
         F.split(F.col(text_col), " ").alias("toks"),
     ).withColumn("n_tok", F.size("toks"))
 
+    m_expr = F.pow(F.lit(2.0), F.floor(F.log2("n_tok"))).cast("int")
     cand = toks.filter(
         (F.col("n_tok") >= 1) & (F.col("n_tok") <= cfg.substring_max_tokens)
-    ).select(
+    ).withColumn("m", m_expr)
+    prefix = F.slice("toks", F.lit(1), F.col("m"))
+    suffix = F.slice("toks", F.col("n_tok") - F.col("m") + 1, F.col("m"))
+    cand = cand.select(
         F.col("_id").alias("contained_id"),
         F.col("n_tok").alias("len"),
-        F.xxhash64(F.concat_ws("\x1f", "toks")).alias("wh"),
-        F.md5(F.concat_ws("\x1f", "toks")).alias("wh2"),
+        "m",
+        F.xxhash64(F.concat_ws("\x1f", prefix)).alias("pwh"),
+        F.md5(F.concat_ws("\x1f", prefix)).alias("pwh2"),
+        F.xxhash64(F.concat_ws("\x1f", suffix)).alias("swh"),
+        F.md5(F.concat_ws("\x1f", suffix)).alias("swh2"),
     )
-    # Candidate lengths stay a (tiny, <= substring_max_tokens row) FRAME
-    # broadcast-joined against the corpus — no driver collect, no extra
-    # Spark job, and window emission covers exactly the lengths that can
-    # match (a static 1..max set would emit windows for lengths with no
-    # candidates).
-    lengths_df = cand.select("len").distinct()
-    win_slice = F.slice("toks", F.col("_s"), F.col("len"))
-    windows = (
-        toks.join(F.broadcast(lengths_df), F.col("len") <= F.col("n_tok"))
+    # Anchor lengths stay a (tiny, <= log2(substring_max_tokens)+1 row)
+    # FRAME broadcast-joined against the corpus — no driver collect, no
+    # extra Spark job, and window emission covers exactly the anchor
+    # lengths that can match.
+    anchors_df = cand.select("m").distinct()
+    windows = _anchor_windows(toks, anchors_df)
+    half1 = windows.join(
+        cand,
+        (windows["m"] == cand["m"])
+        & (windows["wh"] == cand["pwh"])
+        & (windows["wh2"] == cand["pwh2"]),
+    ).select(
+        "container_id",
+        "contained_id",
+        windows["m"].alias("m"),
+        # where the suffix window must begin for this (start, len) match
+        (F.col("_s") + F.col("len") - windows["m"]).alias("_s2"),
+    )
+    return (
+        half1.join(
+            windows.select(
+                "container_id",
+                "m",
+                F.col("_s").alias("_s2"),
+                F.col("wh").alias("swh"),
+                F.col("wh2").alias("swh2"),
+            ),
+            ["container_id", "m", "_s2"],
+        )
+        .join(
+            cand.select("contained_id", "swh", "swh2").distinct(),
+            ["contained_id", "swh", "swh2"],
+        )
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+
+
+def _anchor_windows(toks: DataFrame, anchors_df: DataFrame) -> DataFrame:
+    """(container_id, m, _s, wh, wh2) for every contiguous m-token window
+    of every text, for each anchor length m in `anchors_df` (broadcast —
+    at most log2(substring_max_tokens)+1 rows). Emission is therefore
+    O(n_tok * |anchors|) per container. Split out so the planted-long-
+    document test can assert the bound directly."""
+    win_slice = F.slice("toks", F.col("_s"), F.col("m"))
+    return (
+        toks.join(F.broadcast(anchors_df), F.col("m") <= F.col("n_tok"))
         .select(
             F.col("_id").alias("container_id"),
-            "len",
+            "m",
             "toks",
             F.explode(
-                F.sequence(F.lit(1), F.col("n_tok") - F.col("len") + 1)
+                F.sequence(F.lit(1), F.col("n_tok") - F.col("m") + 1)
             ).alias("_s"),
         )
         .select(
             "container_id",
-            "len",
+            "m",
+            "_s",
             F.xxhash64(F.concat_ws("\x1f", win_slice)).alias("wh"),
             F.md5(F.concat_ws("\x1f", win_slice)).alias("wh2"),
         )
-    )
-    return (
-        windows.join(cand, ["len", "wh", "wh2"])
-        .filter(F.col("contained_id") != F.col("container_id"))
-        .select("contained_id", "container_id")
-        .distinct()
     )
 
 

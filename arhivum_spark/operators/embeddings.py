@@ -166,11 +166,22 @@ def _cap_buckets(bucketed: DataFrame, cap: int) -> DataFrame:
     map-side (they can't produce pairs). The bucket-size frame has at most
     n_tables * 2^nbits rows — always broadcastable.
 
-    Adds `_bn` (pre-cap bucket population)."""
+    When NO bucket exceeds the cap — the common un-skewed case — the
+    filter join is skipped entirely and the (checkpointed) input returns
+    as-is, so well-behaved corpora pay one tiny driver-side agg instead
+    of a broadcast join per downstream consumer. The skewed path adds
+    `_bn` (pre-cap bucket population); callers must not rely on it
+    (`df.drop("_bn")` is a no-op when absent)."""
     # two consumers (size count + the join below) — pin the signature-UDF
-    # output once or the Arrow kernel runs twice
+    # output once or the Arrow kernel runs twice; the max-size probe below
+    # materializes the lazy checkpoint, so the main query reads the pinned
+    # frame either way
     bucketed = bucketed.localCheckpoint(eager=False)
     sizes = bucketed.groupBy("table", "bucket").agg(F.count("*").alias("_bn"))
+    # sizes has <= n_tables * 2^nbits rows — the probe is one scalar
+    max_bn = sizes.agg(F.max("_bn")).first()[0]
+    if max_bn is None or max_bn <= cap:
+        return bucketed
     return bucketed.join(
         F.broadcast(sizes.filter(F.col("_bn") >= 2)), ["table", "bucket"]
     ).filter(
@@ -475,6 +486,61 @@ def _assign_udf(cents: np.ndarray):
     return assign
 
 
+def _lloyd_refine(
+    base: DataFrame, cents: np.ndarray, n_iters: int
+) -> np.ndarray:
+    """`n_iters` Lloyd's iterations over `base` (columns: `vecd`), updating
+    the k x d centroid matrix driver-side. Returns the refined matrix.
+
+    Scale shape: each iteration is ONE mapInPandas pass emitting per-
+    partition partial sums — assignment (einsum argmin) and accumulation
+    (np.add.at / bincount) fused in the same Arrow batch loop, classic
+    map-side combine. The executor->driver frame is O(partitions * k)
+    rows of d-doubles; the driver reduces it with one np.add.at. At
+    production dims (d = 512-1024) this replaces the previous
+    one-`F.sum(element_at(vecd, i))`-column-PER-DIMENSION aggregation,
+    whose ~1000 aggregate expressions per iteration hit codegen compile
+    pressure and a pathologically wide partial-agg row (the assignment
+    side always avoided when-chain codegen for the same reason).
+    Empty cells keep their previous centroid (standard Lloyd's
+    convention, matches the old agg path which had no row to update with).
+    """
+    k, d = cents.shape
+    for _ in range(n_iters):
+        c = cents.copy()  # bind per-iteration snapshot for the closure
+        c2 = (c * c).sum(axis=1)
+
+        def partial_sums(batches, _c=c, _c2=c2):
+            sums = np.zeros((k, d))
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(pdf["vecd"].tolist(), dtype=np.float64)
+                cell = np.argmin(
+                    _c2[None, :] - 2 * np.einsum("nd,kd->nk", x, _c), axis=1
+                )
+                np.add.at(sums, cell, x)
+                counts += np.bincount(cell, minlength=k)
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {"cell": nz.astype("int32"), "n": counts[nz], "s": list(sums[nz])}
+            )
+
+        parts = base.select("vecd").mapInPandas(
+            partial_sums, schema="cell int, n long, s array<double>"
+        ).collect()
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["cell"]] += r["n"]
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / counts[nz, None]
+    return cents
+
+
 def fixed_centroid_assign(
     df: DataFrame,
     n_cells: int = 8,
@@ -531,22 +597,7 @@ def ivf_probe_topk(
         .collect()
     )
     cents = np.array([list(r[0]) for r in init], dtype=np.float64)
-    for _ in range(n_iters):
-        assigned = base.withColumn("cell", _assign_udf(cents)("vecd"))
-        sums = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("vecd", i + 1)).alias(f"s{i}")
-                    for i in range(cents.shape[1])
-                ],
-            )
-            .collect()
-        )
-        for r in sums:
-            cents[r["cell"]] = [r[f"s{i}"] / r["n"] for i in range(cents.shape[1])]
-
+    cents = _lloyd_refine(base.select("vecd"), cents, n_iters)
     celled = base.withColumn("cell", _assign_udf(cents)("vecd"))
     # probe cells per query: query set is small by contract -> driver-side
     # argsort against the k x d centroid matrix, broadcast back as a frame
@@ -613,13 +664,14 @@ def centroid_assign(
     """IVF coarse quantizer: distributed Lloyd's k-means over the embedding
     column (init = deterministic sample), returning (id, cell).
 
-    Each iteration: broadcast centroids -> vectorized pandas-UDF argmin
-    assignment (one numpy matmul-free distance per Arrow batch; a
-    Column-expression argmin over k centroids x d dims compiles a huge
-    nested-when codegen tree whose per-iteration compile time dwarfs the
-    data work) -> per-cell sums via groupBy (one narrow shuffle).
-    Centroids live on the driver (n_cells x dim floats — trivially small);
-    rows never leave executors unaggregated."""
+    Each iteration: broadcast centroids -> one mapInPandas pass fusing
+    vectorized argmin assignment with per-partition partial sums
+    (_lloyd_refine; a Column-expression argmin over k centroids x d dims
+    compiles a huge nested-when codegen tree, and a per-dimension
+    F.sum(element_at) agg compiles d aggregate expressions — both dwarf
+    the data work at production dims). Centroids live on the driver
+    (n_cells x dim floats — trivially small); only O(partitions * cells)
+    partial-sum rows ever leave executors."""
     base = with_norm(df, vec_col).select(F.col(id_col).alias("_id"), "vecd")
     init = (
         base.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
@@ -629,24 +681,7 @@ def centroid_assign(
         .collect()
     )
     centroids = np.array([list(r[0]) for r in init], dtype=np.float64)
-
-    for _ in range(n_iters):
-        assigned = base.withColumn("cell", _assign_udf(centroids)("vecd"))
-        sums = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("vecd", i + 1)).alias(f"s{i}")
-                    for i in range(centroids.shape[1])
-                ],
-            )
-            .collect()
-        )
-        for r in sums:
-            centroids[r["cell"]] = [
-                r[f"s{i}"] / r["n"] for i in range(centroids.shape[1])
-            ]
+    centroids = _lloyd_refine(base.select("vecd"), centroids, n_iters)
     return base.withColumn("cell", _assign_udf(centroids)("vecd")).select(
         F.col("_id").alias(id_col), "cell"
     )

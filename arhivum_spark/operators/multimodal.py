@@ -326,6 +326,45 @@ def exif_fields_for_id(i: int) -> dict | None:
     return fields
 
 
+def synth_audio_from_ids(
+    df: DataFrame, id_col: str = "doc_id", corrupt_mod: int = 13
+) -> DataFrame:
+    """Deterministic audio column derived from an id column — constant-
+    amplitude clips whose (rate, channels, length, level) are pure
+    functions of the id, so an analytic SQL oracle predicts audio_meta's
+    output end-to-end (the audio twin of synth_media_from_ids):
+
+    - sample_rate = [8000, 16000, 32000, 48000][i % 4] (all divisible by
+      8, so duration = (1 + i % 3)/8 s is EXACTLY representable as a
+      double — no rounding-tie risk in the driver's value hash);
+    - channels = 1 + i % 2; n_samples = (rate/8) * (1 + i % 3);
+    - constant amplitude 100 * (1 + i % 7) -> rms is exactly the
+      amplitude;
+    - i % corrupt_mod == corrupt_mod-1 rows carry junk bytes (bad magic),
+      exercising audio_meta's ok=false continue-past-errors path.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, bytes binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid in pdf[id_col]:
+                i = int(rid)
+                if i % corrupt_mod == corrupt_mod - 1:
+                    rows.append((rid, b"JUNKJUNKJUNK"))
+                    continue
+                rate = (8000, 16000, 32000, 48000)[i % 4]
+                ch = 1 + i % 2
+                n = (rate // 8) * (1 + i % 3)
+                amp = 100 * (1 + i % 7)
+                samples = np.full((n, ch), amp, dtype=np.int16)
+                rows.append((rid, codec.encode_audio(samples, rate)))
+            yield pd.DataFrame(rows, columns=[id_col, "bytes"])
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
 def synth_media_from_ids(
     df: DataFrame,
     id_col: str = "doc_id",

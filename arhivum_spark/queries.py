@@ -890,7 +890,11 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
 # decompress tolerates the trailer). The operator returns a nested struct
 # (gps sub-struct, null when absent); the registry query flattens it to
 # scalar columns so the driver's value-hash can compare against the
-# analytic oracle (every field a pure function of doc_id).
+# analytic oracle (every field a pure function of doc_id). Round 4 also
+# folds in the AUDIO leg (audio_meta over synth_audio_from_ids, incl.
+# corrupt-row ok=false handling) — the same merge pattern that absorbed
+# EXIF, keeping the registry at the driver's 50-row cap while making the
+# audio operators driver-checked.
 def q_mm_media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     media = multimodal.synth_media_from_ids(
@@ -923,7 +927,19 @@ def q_mm_media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spuriously distinguish; string nulls round-trip identically.
         F.col("exif.flash").cast("string").alias("flash"),
     )
-    return meta.join(flat, "doc_id")
+    audio = multimodal.synth_audio_from_ids(docs, id_col="doc_id")
+    ameta = multimodal.audio_meta(audio, id_col="doc_id").select(
+        "doc_id",
+        F.col("sample_rate").alias("audio_rate"),
+        F.col("channels").alias("audio_channels"),
+        F.col("n_samples").alias("audio_n_samples"),
+        # doubles are NaN on corrupt rows — project to NULL (NaN does not
+        # round-trip a value hash identically across engines)
+        F.when(F.col("ok"), F.round("duration_s", 6)).alias("audio_duration_s"),
+        F.when(F.col("ok"), F.round("rms", 4)).alias("audio_rms"),
+        F.col("ok").alias("audio_ok"),
+    )
+    return meta.join(flat, "doc_id").join(ameta, "doc_id")
 
 
 # Analytic oracle: constant-fill images make decoded metadata a pure
@@ -972,7 +988,23 @@ SELECT doc_id,
   CASE WHEN doc_id % 5 = 4 THEN NULL
        ELSE CAST(100 * (1 + doc_id % 32) AS INT) END AS iso,
   CASE WHEN doc_id % 5 = 4 THEN NULL
-       ELSE CAST(((doc_id % 9) & 1) <> 0 AS VARCHAR) END AS flash
+       ELSE CAST(((doc_id % 9) & 1) <> 0 AS VARCHAR) END AS flash,
+  CAST(CASE WHEN doc_id % 13 = 12 THEN -1
+       ELSE [8000,16000,32000,48000][CAST(doc_id % 4 + 1 AS INT)]
+  END AS INT) AS audio_rate,
+  CAST(CASE WHEN doc_id % 13 = 12 THEN -1
+       ELSE 1 + doc_id % 2 END AS INT) AS audio_channels,
+  CAST(CASE WHEN doc_id % 13 = 12 THEN -1
+       ELSE ([8000,16000,32000,48000][CAST(doc_id % 4 + 1 AS INT)] // 8)
+            * (1 + doc_id % 3)
+  END AS INT) AS audio_n_samples,
+  CASE WHEN doc_id % 13 = 12 THEN NULL
+       ELSE round(CAST(1 + doc_id % 3 AS DOUBLE) / 8, 6)
+  END AS audio_duration_s,
+  CASE WHEN doc_id % 13 = 12 THEN NULL
+       ELSE round(CAST(100 * (1 + doc_id % 7) AS DOUBLE), 4)
+  END AS audio_rms,
+  doc_id % 13 <> 12 AS audio_ok
 FROM documents
 """
 
@@ -1742,7 +1774,7 @@ GROUP BY cell ORDER BY cell
 # appeared) — entries past #50 silently get no correctness row. Coverage
 # therefore comes from MERGED queries (one entry can evidence several
 # operators when they share a scan/shape: txt_lang_quality,
-# txt_tokens_fingerprint, mm_media_exif_meta, f_scalar_functions) rather
+# txt_tokens_fingerprint, mm_exif_audio_meta, f_scalar_functions) rather
 # than from more entries.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a1_dup_groups": (q_a1_dup_groups, SQL_A1),
@@ -1777,7 +1809,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_ann_topk": (q_emb_ann_topk, SQL_EMB_ANN),
     "emb_ivf_cells": (q_emb_ivf_cells, SQL_EMB_IVF_CELLS),
     "emb_neardup_pairs": (q_emb_neardup, SQL_EMB_NEARDUP),
-    "mm_media_exif_meta": (q_mm_media_exif, SQL_MM_MEDIA_EXIF),
+    "mm_exif_audio_meta": (q_mm_media_exif, SQL_MM_MEDIA_EXIF),
     "f_scalar_functions": (q_scalar_functions, SQL_SCALARS),
     "a6_duptype_classification": (q_a6_duptype, SQL_A6),
     "u1_detector_priority": (q_u1_detector_priority, SQL_U1_DETECTORS),

@@ -1,0 +1,84 @@
+"""Round-4 operator additions: bounded substring-window emission
+(power-of-two anchors) and the Lloyd's partial-sum refinement live in
+test_training_ops; this file covers the substring emission bound and
+long-document behavior the round-3 verdict flagged (emission was
+O(n_tok x distinct candidate lengths) per container)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from arhivum_spark.config import DedupConfig
+from arhivum_spark.operators import dedup_text
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="id long, text string"
+    )
+
+
+def test_substring_window_emission_is_log_bounded(spark):
+    """A 10,000-token container facing candidates at EVERY length 1..64
+    must emit O(n_tok * log2(64)) anchor windows, not O(n_tok * 64).
+    Pre-round-4 this planted corpus emitted ~635k window rows for the
+    container; anchors bound it to ~70k (7 anchor lengths)."""
+    n_tok = 10_000
+    rng = np.random.default_rng(3)
+    container = " ".join(str(x) for x in rng.integers(0, 1_000_000, n_tok))
+    # one candidate at every length 1..64 -> 64 distinct lengths but only
+    # 7 distinct anchor lengths (1, 2, 4, 8, 16, 32, 64)
+    cands = [
+        " ".join(str(x) for x in rng.integers(0, 1_000_000, L))
+        for L in range(1, 65)
+    ]
+    docs = _mk_docs(spark, [container] + cands)
+
+    toks = docs.select(
+        F.col("id").alias("_id"), F.split("text", " ").alias("toks")
+    ).withColumn("n_tok", F.size("toks"))
+    m_expr = F.pow(F.lit(2.0), F.floor(F.log2("n_tok"))).cast("int")
+    anchors = (
+        toks.filter(F.col("n_tok") <= 64).select(m_expr.alias("m")).distinct()
+    )
+    n_anchors = anchors.count()
+    assert n_anchors <= 7
+    emitted = (
+        dedup_text._anchor_windows(toks, anchors)
+        .filter(F.col("container_id") == 0)
+        .count()
+    )
+    # exact bound: sum over anchors m of (n_tok - m + 1) <= n_anchors*n_tok
+    assert emitted <= n_anchors * n_tok
+    assert emitted < 64 * (n_tok - 64 + 1)  # strictly beats per-length emission
+
+
+def test_substring_pairs_long_container_planted_oracle(spark):
+    """Containment over a long container stays EXACT under anchor
+    windows: plant candidates of assorted lengths (incl. non-powers of
+    two, where prefix+suffix anchor windows overlap) inside a 5k-token
+    container, plus decoys differing only in their final token (defeats
+    prefix-only matching) and first token (defeats suffix-only)."""
+    n_tok = 5_000
+    rng = np.random.default_rng(17)
+    base = [str(x) for x in rng.integers(0, 1_000_000, n_tok)]
+    container = " ".join(base)
+    planted, decoys = [], []
+    for L, off in [(1, 7), (3, 100), (7, 500), (33, 1000), (64, 3000)]:
+        seg = base[off : off + L]
+        planted.append(" ".join(seg))
+        decoys.append(" ".join(seg[:-1] + ["zzz-no-match"]))
+        decoys.append(" ".join(["zzz-no-match"] + seg[1:]))
+    docs = _mk_docs(spark, [container] + planted + decoys)
+    got = dedup_text.substring_pairs(
+        docs, DedupConfig(), id_col="id", text_col="text"
+    ).toPandas()
+    contained_in_0 = set(
+        got[got["container_id"] == 0]["contained_id"].tolist()
+    )
+    planted_ids = set(range(1, 1 + len(planted)))
+    decoy_ids = set(range(1 + len(planted), 1 + len(planted) + len(decoys)))
+    assert planted_ids <= contained_in_0
+    assert not (decoy_ids & contained_in_0)
