@@ -181,6 +181,79 @@ def images_pandas(p: GenParams) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Clustered synthetic embeddings (round 4 — blocking-effectiveness evidence)
+#
+# Real embedding corpora are CLUSTERED (semantic neighborhoods), not
+# isotropic-random: on random low-d vectors at a low threshold, any
+# recall-1.0 LSH config provably degenerates to all-pairs
+# (docs/ENGINEERING_NOTES.md round-3), so pruning claims need data shaped
+# like production embeddings. Every row is a pure function of
+# (i, params, seed) — distributed generation is a shuffle-free
+# spark.range -> mapInPandas, same pattern as images_df.
+
+
+@dataclass(frozen=True)
+class EmbParams:
+    n: int
+    d: int = 256
+    n_clusters: int = 60
+    cluster_size: int = 10
+    sigma: float = 0.15  # within-cluster cos ~= 1/(1+sigma^2) ~ 0.978
+    seed: int = 42
+
+
+def _emb_vector(i: int, p: EmbParams) -> np.ndarray:
+    n_clustered = p.n_clusters * p.cluster_size
+    if i < n_clustered:
+        c = i // p.cluster_size
+        center = _emb_rng(p.seed, 20, c).standard_normal(p.d)
+        center /= np.linalg.norm(center)
+        noise = _emb_rng(p.seed, 21, i).standard_normal(p.d)
+        return center + (p.sigma / np.sqrt(p.d)) * noise
+    return _emb_rng(p.seed, 22, i).standard_normal(p.d)
+
+
+def _emb_rng(seed: int, tag: int, j: int) -> np.random.Generator:
+    return np.random.default_rng(
+        np.random.SeedSequence([seed, tag, j]).generate_state(4)
+    )
+
+
+def clustered_embeddings_pandas(p: EmbParams) -> pd.DataFrame:
+    """Driver-side generation for pytest fixtures / exact numpy oracles."""
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(p.n, dtype=np.int64),
+            "embedding": [
+                _emb_vector(i, p).astype(np.float32).tolist()
+                for i in range(p.n)
+            ],
+        }
+    )
+
+
+def clustered_embeddings_df(spark, p: EmbParams, partitions: int | None = None):
+    """Distributed generation: spark.range -> mapInPandas, no shuffle."""
+    nparts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["id"].astype("int64"),
+                    "embedding": [
+                        _emb_vector(int(i), p).astype(np.float32).tolist()
+                        for i in pdf["id"]
+                    ],
+                }
+            )
+
+    return spark.range(0, p.n, 1, nparts).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ground truth (index arithmetic only — no pixels)
 
 

@@ -57,6 +57,7 @@ def connected_components(
     id_col: str = "id",
     fallback_star: bool = True,
     jump_after: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """vertices(id), edges(src,dst) -> (id, component) with component =
     min vertex id reachable. Vertices absent from edges keep component=id.
@@ -76,6 +77,9 @@ def connected_components(
     is redone by the O(log^2 n)-round star algorithm
     (connected_components_star, identical output contract); otherwise
     ConvergenceError is raised.
+
+    If `stats` is a dict it receives {"rounds": n, "fallback": bool} —
+    observability for benchmarks and ops, no effect on the result.
     """
     if max_iters < 1:
         # a zero-round run would return all-self labels — exactly the
@@ -152,6 +156,9 @@ def connected_components(
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = it + 1
+        stats["fallback"] = n_changed != 0
     if n_changed != 0:
         if fallback_star:
             log.warning(
@@ -178,6 +185,7 @@ def connected_components_star(
     edges: DataFrame,
     max_rounds: int = 64,
     id_col: str = "id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components
     (Kiveris et al., SoCC'14) — O(log^2 n) rounds independent of
@@ -214,7 +222,7 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     sig = signature(e)
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         # large-star: for each node u (over the SYMMETRIC view), let
         # m = min(N(u) + {u}); hook every STRICTLY LARGER neighbor onto m
         sym = e.unionByName(
@@ -246,6 +254,8 @@ def connected_components_star(
         new_sig = signature(small)
         e = small
         if new_sig == sig:
+            if stats is not None:
+                stats["rounds"] = _round + 1
             break
         sig = new_sig
     else:

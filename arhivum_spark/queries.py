@@ -1688,7 +1688,18 @@ def q_st_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arhivum_spark.streaming.ingest import flag_duplicates_stateful
 
     batch = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    tmp = tempfile.mkdtemp(prefix="arhivum-stfw-")
+    # Staging root: on any non-local master executors read/write their own
+    # filesystems, so a driver-local tempdir only works in local mode (the
+    # driver-bench contract). Set spark.arhivum.scratchDir to a POSIX path
+    # mounted on BOTH driver and executors (shared NFS/EFS) to run this
+    # query on a real cluster — the staging copy below uses local file
+    # ops, so object-store URIs would additionally need Hadoop-FS staging.
+    # The tempfile default is the local-mode fallback.
+    scratch = spark.conf.get("spark.arhivum.scratchDir", None)
+    if scratch:
+        tmp = os.path.join(scratch, f"arhivum-stfw-{os.getpid()}")
+    else:
+        tmp = tempfile.mkdtemp(prefix="arhivum-stfw-")
     out, ck = os.path.join(tmp, "out"), os.path.join(tmp, "ck")
     # the file-stream source wants a DIRECTORY of files — stage the table
     # file into one (this is also the natural shape of a real ingest drop
