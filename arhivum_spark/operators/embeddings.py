@@ -427,13 +427,17 @@ def rhp_ann_topk(
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("_cid"), "vecd", "norm"
     )
+    # two consumers below (query projection + candidate side) — pin once
+    # or the base scan + payload join run twice
     bucketed = base.join(
         _cap_buckets(
             rhp_table_buckets(base, dim, nbits, n_tables, seed),
             max_bucket_members,
         ).drop("_bn"),
         "_cid",
-    ).select("_cid", "vecd", "norm", "table", "bucket")
+    ).select("_cid", "vecd", "norm", "table", "bucket").localCheckpoint(
+        eager=False
+    )
     q = (
         bucketed.join(query_ids.select(F.col(id_col).alias("_cid")), "_cid")
         .select(
