@@ -145,7 +145,11 @@ def substring_pairs(
     # extra Spark job, and window emission covers exactly the anchor
     # lengths that can match.
     anchors_df = cand.select("m").distinct()
-    windows = _anchor_windows(toks, anchors_df)
+    # The window frame is consumed twice (prefix join + aligned suffix
+    # self-join); without a pin the explode+hash emission — the dominant
+    # cost — executes twice. Lazy localCheckpoint materializes it on first
+    # use; the pinned rows are (id, m, int, 64-bit, 128-bit) only.
+    windows = _anchor_windows(toks, anchors_df).localCheckpoint(eager=False)
     half1 = windows.join(
         cand,
         (windows["m"] == cand["m"])
