@@ -267,11 +267,20 @@ def audio_frame_energy(
     frame_ms: int = 100,
     bytes_col: str = "bytes",
     id_col: str = "audio_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Per-frame RMS energy — one output row per frame (the audio analogue
     of sample_frames' one-to-many UDTF shape; feeds VAD / silence trimming
     in a real pipeline). Frame boundaries are sample-exact; a trailing
-    partial frame is kept."""
+    partial frame is kept.
+
+    ``on_error="skip"`` silently emits zero frames for undecodable clips
+    (the one-to-many analogue of audio_meta's ok=false row) so the
+    operator can run directly on a mixed-quality corpus without a prior
+    decodability join; the default ``"raise"`` keeps strict semantics for
+    pre-gated inputs."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, frame_index int, frame_rms double"
 
@@ -279,7 +288,12 @@ def audio_frame_energy(
         for pdf in batches:
             out = []
             for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
-                samples, rate = codec.decode_audio(bytes(raw))
+                try:
+                    samples, rate = codec.decode_audio(bytes(raw))
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 mono = samples.astype(np.float64).mean(axis=1)
                 step = max(1, rate * frame_ms // 1000)
                 for fi in range(0, len(mono), step):

@@ -939,7 +939,26 @@ def q_mm_media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ok"), F.round("rms", 4)).alias("audio_rms"),
         F.col("ok").alias("audio_ok"),
     )
-    return meta.join(flat, "doc_id").join(ameta, "doc_id")
+    # One-to-many frame leg (audio_frame_energy, on_error="skip" — junk
+    # clips emit zero frames), re-aggregated per doc so the entry keeps
+    # one row per doc_id: for the constant-amplitude synthetic clips every
+    # frame's RMS is exactly the amplitude and the frame count is
+    # ceil(n_samples / (rate/10)) — both analytic in doc_id, so the
+    # oracle checks the frame op end-to-end. Left join: corrupt docs get
+    # NULL frame columns.
+    fagg = (
+        multimodal.audio_frame_energy(audio, id_col="doc_id", on_error="skip")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("audio_n_frames"),
+            F.round(F.max("frame_rms"), 4).alias("audio_frame_rms_max"),
+        )
+    )
+    return (
+        meta.join(flat, "doc_id")
+        .join(ameta, "doc_id")
+        .join(fagg, "doc_id", "left")
+    )
 
 
 # Analytic oracle: constant-fill images make decoded metadata a pure
@@ -1004,7 +1023,13 @@ SELECT doc_id,
   CASE WHEN doc_id % 13 = 12 THEN NULL
        ELSE round(CAST(100 * (1 + doc_id % 7) AS DOUBLE), 4)
   END AS audio_rms,
-  doc_id % 13 <> 12 AS audio_ok
+  doc_id % 13 <> 12 AS audio_ok,
+  CASE WHEN doc_id % 13 = 12 THEN NULL
+       ELSE CAST(doc_id % 3 + 2 AS BIGINT)
+  END AS audio_n_frames,
+  CASE WHEN doc_id % 13 = 12 THEN NULL
+       ELSE round(CAST(100 * (1 + doc_id % 7) AS DOUBLE), 4)
+  END AS audio_frame_rms_max
 FROM documents
 """
 

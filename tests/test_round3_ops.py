@@ -304,6 +304,16 @@ def test_audio_meta_and_frames(spark):
         assert len(per_clip[i]) == i + 1
         assert all(x["frame_rms"] > 0 for x in per_clip[i])
 
+    # on_error="skip": undecodable clips emit zero frames, decodable ones
+    # are unchanged (mixed-quality corpus needs no prior decodability join)
+    fr_skip = audio_frame_energy(df, frame_ms=100, on_error="skip").collect()
+    assert len(fr_skip) == len(fr)
+    assert {r["audio_id"] for r in fr_skip} == set(range(6))
+    with pytest.raises(Exception):  # default stays strict
+        audio_frame_energy(df, frame_ms=100).collect()
+    with pytest.raises(ValueError):
+        audio_frame_energy(df, on_error="ignore")
+
 
 # ---------------------------------------------------------------------------
 # Recall guards for every approximate operator registered against an exact
