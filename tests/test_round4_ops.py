@@ -85,6 +85,44 @@ def test_substring_pairs_long_container_planted_oracle(spark):
     assert not (decoy_ids & contained_in_0)
 
 
+def test_substring_pairs_random_corpus_definitional_oracle(spark):
+    """Randomized parity against the definitional oracle (contiguous
+    token-sequence containment, brute force): a tiny 3-token vocabulary
+    makes repeated tokens, periodic runs, and exact-power-of-two lengths
+    common — the adversarial regime for the prefix+suffix anchor
+    combination (a wrong alignment of two half-windows would show up
+    here as a false pair; a missed anchor length as a false negative)."""
+    rng = np.random.default_rng(29)
+    vocab = ["a", "b", "c"]
+    texts = [
+        " ".join(rng.choice(vocab, size=L).tolist())
+        for L in rng.integers(1, 40, size=30)
+    ]
+    # plant exact-power-of-two and unit lengths explicitly
+    texts += [texts[0].split(" ", 1)[0], " ".join(texts[1].split()[:2])]
+    toks = [t.split() for t in texts]
+    cfg = DedupConfig()
+    truth = set()
+    for i, ta in enumerate(toks):
+        if not (1 <= len(ta) <= cfg.substring_max_tokens):
+            continue
+        for j, tb in enumerate(toks):
+            if i == j or len(ta) > len(tb):
+                continue
+            if any(
+                tb[s : s + len(ta)] == ta
+                for s in range(len(tb) - len(ta) + 1)
+            ):
+                truth.add((i, j))
+    got = {
+        (int(r["contained_id"]), int(r["container_id"]))
+        for r in dedup_text.substring_pairs(
+            _mk_docs(spark, texts), cfg, id_col="id", text_col="text"
+        ).collect()
+    }
+    assert got == truth
+
+
 # ---------------------------------------------------------------------------
 # Blocking effectiveness on CLUSTERED realistic-dim embeddings (round-4
 # VERDICT #1): on random low-d vectors at a low threshold, LSH provably
