@@ -174,7 +174,9 @@ def substring_pairs(
             ["container_id", "m", "_s2"],
         )
         .join(
-            cand.select("contained_id", "swh", "swh2").distinct(),
+            # one row per contained_id already (no distinct: it would add a
+            # full exchange; the final distinct below owns set semantics)
+            cand.select("contained_id", "swh", "swh2"),
             ["contained_id", "swh", "swh2"],
         )
         .filter(F.col("contained_id") != F.col("container_id"))
