@@ -53,6 +53,16 @@ class DedupConfig:
     # on id (2 rows/edge either way — only the join strategy changes)
     psnr_broadcast_max_edges: int = 2_000_000
 
+    # parquet vectorized-reader batch rows for the binary-heavy images
+    # scan. The reader reserves a contiguous column buffer of
+    # batch_rows x avg cell bytes PER TASK THREAD: at Spark's default
+    # 4096 rows, an images table averaging ~23 KB of encoded bytes per
+    # row reserves ~95 MB per thread — 32 local task threads OOMed a
+    # 16 GB heap at 2.4M images (measured, round 4). 256 rows (aligned
+    # with the pandas-UDF Arrow batch bound, session.py) keeps it at
+    # ~6 MB per thread. None leaves the session default untouched.
+    parquet_batch_rows: int | None = 256
+
     # skew handling: bands whose key frequency exceeds this get salted
     hot_band_threshold: int = 64
     # heavy-hitter detection sample fraction (1.0 = exact full count);

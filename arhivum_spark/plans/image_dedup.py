@@ -170,7 +170,19 @@ def run_pipeline(
     cfg: DedupConfig = DedupConfig(),
 ) -> DataFrame:
     """images -> committed cluster table (image_id, cluster_id, is_duplicate,
-    representative_id, content_sha256). Resumes from committed stages."""
+    representative_id, content_sha256). Resumes from committed stages.
+
+    Side effect: bounds the session's parquet vectorized-reader batch
+    (``spark.sql.parquet.columnarReaderBatchSize``) to
+    ``cfg.parquet_batch_rows`` — every scan this pipeline performs carries
+    multi-KB binary payloads, and the default 4096-row reader buffer is a
+    per-task-thread heap OOM at scale (see DedupConfig.parquet_batch_rows).
+    """
+    if cfg.parquet_batch_rows:
+        images.sparkSession.conf.set(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            str(cfg.parquet_batch_rows),
+        )
 
     sigs = store.read_or_compute(
         "s1_signatures",

@@ -118,6 +118,20 @@ def test_caption_pairs_cover_planted_caption_dups(spark, images, tmp_path_factor
     assert recall >= 0.99, f"caption-pair recall {recall:.4f}; missing {missing[:5]}"
 
 
+def test_pipeline_bounds_parquet_reader_batch(spark, images, tmp_path_factory):
+    """Regression (round 4): the parquet vectorized reader reserves
+    batch_rows x avg-cell-bytes contiguous PER TASK THREAD; the 4096-row
+    default on a ~23 KB/row binary column OOMed a 16 GB heap with 32 task
+    threads at 2.4M images. run_pipeline must pin the session's reader
+    batch to cfg.parquet_batch_rows before any scan."""
+    store = StageStore(spark, str(tmp_path_factory.mktemp("rbstages")))
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4096")
+    run_pipeline(images.limit(50), store, CFG)
+    assert spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") == str(
+        CFG.parquet_batch_rows
+    )
+
+
 def test_resume_reuses_committed_stages(spark, images, tmp_path_factory):
     """Kill-and-rerun contract: a second run over the same store recomputes
     nothing and returns byte-identical results."""
