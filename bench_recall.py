@@ -1,0 +1,98 @@
+"""Dup-pair recall vs planted ground truth at bench scale (north rule).
+
+The recall >= 0.99 gate runs in pytest on a ~2k-row corpus
+(tests/test_pipeline_recall.py::test_recall_gate). This bench runs the
+SAME gate computation on the 600k bench corpus: generate (or reuse) the
+bench input, run the full pipeline at local[32], and compute dup-pair
+recall against `datagen.truth_clusters` — fraction of planted
+same-cluster pairs that land in the same predicted cluster, computed
+via intersection-subcluster sizes (no pair materialization, so the
+6k-image all-black cohort's ~18M truth pairs cost nothing).
+
+Prints one JSON line. Run alone in its window: python bench_recall.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+WORKDIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/dev/shm/arhivum_scale")
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_RECALL_N", "600000"))
+IMG_HW = 96
+CORES = int(os.environ.get("SPARK_GRAFT_RECALL_CORES", "32"))
+
+
+def pair_count(sizes: np.ndarray) -> float:
+    return float(np.sum(sizes * (sizes - 1) / 2))
+
+
+def main() -> None:
+    import bench_scaling
+    from arhivum_spark import datagen
+    from arhivum_spark.config import DedupConfig
+    from arhivum_spark.plans.image_dedup import run_pipeline
+    from arhivum_spark.session import get_spark
+    from arhivum_spark.sources.checkpoints import StageStore
+
+    os.environ.setdefault(
+        "SPARK_LOCAL_DIRS", os.path.join(WORKDIR, "spark_local")
+    )
+    bench_scaling.N_IMAGES = N_IMAGES
+    input_path = bench_scaling.generate_input()
+
+    p = datagen.GenParams(n=N_IMAGES, seed=42, img_hw=IMG_HW)
+    truth = datagen.truth_clusters(p)
+
+    spark = get_spark(
+        f"recall_{CORES}", cores=CORES, shuffle_partitions=4 * CORES
+    )
+    images = spark.read.parquet(input_path)
+    stage_root = os.path.join(WORKDIR, "stages_recall")
+    shutil.rmtree(stage_root, ignore_errors=True)
+    t0 = time.time()
+    out = run_pipeline(images, StageStore(spark, stage_root), DedupConfig())
+    pred = out.select("image_id", "cluster_id").toPandas()
+    wall = time.time() - t0
+    shutil.rmtree(stage_root, ignore_errors=True)
+    n_clusters = pred["cluster_id"].nunique()
+    spark.stop()
+
+    merged = truth.merge(
+        pred, on="image_id", how="left", suffixes=("_t", "_p")
+    )
+    assert merged["cluster_id_p"].notna().all(), "pipeline lost truth rows"
+    total = pair_count(merged.groupby("cluster_id_t").size().values)
+    hit = pair_count(
+        merged.groupby(["cluster_id_t", "cluster_id_p"]).size().values
+    )
+    recall = hit / total if total else 1.0
+
+    # precision counterpart over the truth-covered rows: of predicted
+    # same-cluster pairs among truth rows, how many are truth pairs
+    pred_pairs = pair_count(merged.groupby("cluster_id_p").size().values)
+    precision = hit / pred_pairs if pred_pairs else 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "dup_pair_recall_at_bench_scale",
+                "n_images": N_IMAGES,
+                "cores": CORES,
+                "truth_rows": int(len(truth)),
+                "truth_pairs": total,
+                "recall": round(recall, 6),
+                "precision_on_truth_rows": round(precision, 6),
+                "clusters": int(n_clusters),
+                "pipeline_wall_sec": round(wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
