@@ -89,10 +89,29 @@ def simhash_near_pairs(
 
 
 def substring_pairs(
-    df: DataFrame, cfg: DedupConfig, id_col: str = "id", text_col: str = "text"
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "id",
+    text_col: str = "text",
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Exact token-substring containment: (contained_id, container_id) where
     contained's full token sequence appears contiguously inside container's.
+
+    ``collapse_identical=True`` is the boilerplate skew guard (north rule),
+    the substring twin of simhash_near_pairs' identical-signature star
+    reduction: rows with IDENTICAL text collapse to one representative
+    (min id per dual-hash text group) before the window machinery, and the
+    result is rep-level containment edges plus bidirectional identity star
+    edges (identical text is mutual containment). A million-row
+    boilerplate-caption cohort then contributes ONE row to the quadratic
+    matching stage — not 10^12 output pairs through a single hot join
+    key. The returned edge set is a COVERING set, not the full pair
+    enumeration: (a contained-in b) for non-representatives is recovered
+    by substituting through the identity edges (containment is invariant
+    under identical-text substitution; test-gated expansion equivalence).
+    Default False keeps exact full-pair semantics — the registry query's
+    DuckDB oracle enumerates all pairs.
 
     Distributed generalized-suffix matching with POWER-OF-TWO ANCHOR
     windows (round 4 — bounds emission): containers do NOT emit a window
@@ -120,6 +139,37 @@ def substring_pairs(
     The within-bucket exhaustive variant (true suffix array) is
     substring_pairs_within_groups below.
     """
+    if collapse_identical:
+        from pyspark.sql import Window
+
+        keyed = df.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_tx")
+        ).withColumn(
+            # dual-hash group key: never sort/shuffle on the raw text twice
+            "_rep",
+            F.first("_id").over(
+                Window.partitionBy(
+                    F.xxhash64("_tx"), F.md5("_tx")
+                ).orderBy("_id")
+            ),
+        )
+        members = keyed.filter(F.col("_id") != F.col("_rep"))
+        identity = members.select(
+            F.col("_id").alias("contained_id"),
+            F.col("_rep").alias("container_id"),
+        ).unionByName(
+            members.select(
+                F.col("_rep").alias("contained_id"),
+                F.col("_id").alias("container_id"),
+            )
+        )
+        reps = keyed.filter(F.col("_id") == F.col("_rep")).select(
+            F.col("_id").alias(id_col), F.col("_tx").alias(text_col)
+        )
+        return substring_pairs(
+            reps, cfg, id_col=id_col, text_col=text_col
+        ).unionByName(identity)
+
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.split(F.col(text_col), " ").alias("toks"),

@@ -271,9 +271,15 @@ def caption_pairs(
             sigs.select("image_id", "simhash"), cfg,
             id_col="image_id", simhash_col="simhash",
         ).select("id_a", "id_b", F.lit("caption_simhash").alias("pair_class"))
+        # collapse_identical: the boilerplate-caption cohort (north-rule
+        # skew case) would otherwise enumerate all ~g^2 mutual-containment
+        # pairs through one hot join key (10^12 pairs for a million-row
+        # cohort at scale); rep-level edges + identity stars cover the
+        # same relation (expansion-equivalence test-gated)
         subs = substring_pairs(
             sigs.select(F.col("image_id").alias("id"), F.col("caption").alias("text")),
             cfg,
+            collapse_identical=True,
         ).select(
             F.col("contained_id").alias("id_a"),
             F.col("container_id").alias("id_b"),

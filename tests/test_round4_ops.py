@@ -176,3 +176,57 @@ def test_rhp_blocking_prunes_clustered_corpus(spark, d):
     assert recall >= 0.99, f"recall {recall:.4f}"
     assert got <= truth  # exact within-bucket verify -> precision 1.0
     df.unpersist()
+
+
+def test_substring_collapse_identical_expansion_equivalence(spark):
+    """collapse_identical=True returns a covering edge set whose expansion
+    through identical-text groups equals the full-pair variant exactly —
+    the semantics contract behind the boilerplate skew guard."""
+    rows = [
+        ("t1", "a b c"), ("t2", "a b c"), ("t3", "a b c"),   # group g1
+        ("t4", "x a b c y"), ("t5", "x a b c y"),            # g2 contains g1
+        ("t6", "z z z z"),                                    # unique
+        ("t7", "b c"),                                        # in g1 and g2
+    ]
+    df = spark.createDataFrame(rows, schema="id string, text string")
+    cfg = DedupConfig()
+
+    full = {
+        (r["contained_id"], r["container_id"])
+        for r in dedup_text.substring_pairs(df, cfg).collect()
+    }
+    collapsed = {
+        (r["contained_id"], r["container_id"])
+        for r in dedup_text.substring_pairs(
+            df, cfg, collapse_identical=True
+        ).collect()
+    }
+
+    text_of = dict(rows)
+    rep: dict[str, str] = {}
+    for i, t in rows:
+        rep[t] = min(rep.get(t, i), i)
+    rep_of = {i: rep[t] for i, t in rows}
+
+    # identity stars present, both directions
+    for i, t in rows:
+        if rep_of[i] != i:
+            assert (i, rep_of[i]) in collapsed and (rep_of[i], i) in collapsed
+
+    rep_edges = {
+        (u, v) for u, v in collapsed if rep_of[u] == u and rep_of[v] == v
+    }
+    ids = [i for i, _ in rows]
+    expanded = {
+        (x, y)
+        for x in ids
+        for y in ids
+        if x != y
+        and (rep_of[x] == rep_of[y] or (rep_of[x], rep_of[y]) in rep_edges)
+    }
+    assert expanded == full
+    # and the quadratic identical-text group emits stars, not all pairs:
+    # g1 contributes 4 identity edges + rep rows, never the 6 ordered pairs
+    g1 = {"t1", "t2", "t3"}
+    intra_g1 = {(u, v) for u, v in collapsed if u in g1 and v in g1}
+    assert intra_g1 == {("t2", "t1"), ("t1", "t2"), ("t3", "t1"), ("t1", "t3")}
