@@ -31,6 +31,58 @@ def pair_count(sizes: np.ndarray) -> float:
     return float(np.sum(sizes * (sizes - 1) / 2))
 
 
+def caption_recall(spark, images, p, workdir: str) -> dict:
+    """Caption-pair recall vs datagen.truth_caption_pairs through the
+    pipeline caption stage (SimHash banding + collapsed substring
+    containment). The stage emits a covering edge set (identical captions
+    collapse to a representative — boilerplate skew guard), so a truth
+    pair (a, b) counts as covered through rep substitution, mirroring
+    tests/test_pipeline_recall.py::test_caption_pairs_cover_planted_caption_dups."""
+    from arhivum_spark import datagen
+    from arhivum_spark.config import DedupConfig
+    from arhivum_spark.functions.signatures import attach_signatures
+    from arhivum_spark.plans.image_dedup import caption_pairs
+    from arhivum_spark.sources.checkpoints import StageStore
+
+    stage_root = os.path.join(workdir, "stages_caption")
+    shutil.rmtree(stage_root, ignore_errors=True)
+    t0 = time.time()
+    sigs = attach_signatures(images, DedupConfig())
+    got = caption_pairs(
+        sigs, StageStore(spark, stage_root), DedupConfig()
+    ).toPandas()
+    wall = time.time() - t0
+    shutil.rmtree(stage_root, ignore_errors=True)
+    got_set = set(zip(got["id_a"], got["id_b"])) | set(
+        zip(got["id_b"], got["id_a"])
+    )
+    caps = images.select("image_id", "caption").toPandas()
+    rep = caps.groupby("caption")["image_id"].min()
+    id_rep = dict(zip(caps["image_id"], caps["caption"].map(rep)))
+
+    def covered(a: str, b: str) -> bool:
+        if (a, b) in got_set:
+            return True
+        ra, rb = id_rep[a], id_rep[b]
+        return (
+            (a == ra or (a, ra) in got_set)
+            and (b == rb or (b, rb) in got_set)
+            and (ra == rb or (ra, rb) in got_set)
+        )
+
+    truth = datagen.truth_caption_pairs(p)
+    n_missing = sum(
+        0 if covered(a, b) else 1
+        for a, b in zip(truth["image_id_a"], truth["image_id_b"])
+    )
+    return {
+        "caption_truth_pairs": int(len(truth)),
+        "caption_recall": round(1 - n_missing / len(truth), 6),
+        "caption_edges_emitted": int(len(got)),
+        "caption_stage_wall_sec": round(wall, 1),
+    }
+
+
 def main() -> None:
     import bench_scaling
     from arhivum_spark import datagen
@@ -77,21 +129,28 @@ def main() -> None:
     pred_pairs = pair_count(merged.groupby("cluster_id_p").size().values)
     precision = hit / pred_pairs if pred_pairs else 1.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "dup_pair_recall_at_bench_scale",
-                "n_images": N_IMAGES,
-                "cores": CORES,
-                "truth_rows": int(len(truth)),
-                "truth_pairs": total,
-                "recall": round(recall, 6),
-                "precision_on_truth_rows": round(precision, 6),
-                "clusters": int(n_clusters),
-                "pipeline_wall_sec": round(wall, 1),
-            }
+    result = {
+        "metric": "dup_pair_recall_at_bench_scale",
+        "n_images": N_IMAGES,
+        "cores": CORES,
+        "truth_rows": int(len(truth)),
+        "truth_pairs": total,
+        "recall": round(recall, 6),
+        "precision_on_truth_rows": round(precision, 6),
+        "clusters": int(n_clusters),
+        "pipeline_wall_sec": round(wall, 1),
+    }
+    if os.environ.get("SPARK_GRAFT_RECALL_CAPTIONS"):
+        spark2 = get_spark(
+            f"caprecall_{CORES}", cores=CORES, shuffle_partitions=4 * CORES
         )
-    )
+        result.update(
+            caption_recall(
+                spark2, spark2.read.parquet(input_path), p, WORKDIR
+            )
+        )
+        spark2.stop()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
