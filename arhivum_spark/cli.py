@@ -45,7 +45,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--captions-out", default=None,
-        help="optional output dir for caption near-dup/containment pairs",
+        help=(
+            "optional output dir for caption near-dup/containment pairs. "
+            "NOTE: containment rows are a COVERING edge set, not the full "
+            "pair enumeration — identical captions are collapsed to a "
+            "min-id representative (rep-level containment edges plus "
+            "bidirectional identity-star edges). The full relation is "
+            "recovered by substituting, for each endpoint, every member "
+            "of its identity group (connected-components consumers need "
+            "no expansion — components are unchanged)."
+        ),
     )
     # the config knobs a cluster operator actually tunes per-corpus;
     # everything else keeps the measured defaults in config.DedupConfig

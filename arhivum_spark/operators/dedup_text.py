@@ -4,6 +4,30 @@ and MinHash-LSH over token shingles.
 The caption-side half of the graft pipeline, plus general document dedup
 (the training-data-pipeline operators). All blocking/verification math stays
 JVM-side; only MinHash signature computation is Python (Arrow-batched).
+
+TOKENIZATION CONTRACT (one definition, both engines): a token is a maximal
+run of non-whitespace bytes, where whitespace is exactly the six ASCII
+separators space/tab/LF/VT/FF/CR (0x20, 0x09-0x0D — all single bytes in
+UTF-8, so the vectorized byte scan handles them for free). Runs of
+separators collapse; there are no empty tokens; a text with no tokens
+(empty or whitespace-only) has token sequence [] — it contains nothing, is
+contained in nothing, and (n-gram kernels only) hashes to a shared
+sentinel gram. This is NARROWER than Python str.split(): \\x1c-\\x1f and
+Unicode-only spaces (NBSP, EM SPACE, ...) are NOT separators. Implemented
+twice — Catalyst side as split on the regex class [ \\t\\n\\x0b\\f\\r]+
+plus empty-filter (substring_pairs), numpy side as the byte-class scan in
+_gram_hash_batch / simhash_batch — and property-tested for agreement
+(tests/test_property_kernels.py).
+
+Window-hash injectivity note: substring_pairs hashes token windows via
+concat_ws("\\x1f", tokens). Since \\x1f is NOT a separator, a token may
+itself contain \\x1f, and two DIFFERENT equal-count token lists can then
+join to the SAME string (["a\\x1fb","c"] vs ["a","b\\x1fc"]) — colliding in
+BOTH hashes, since they collide as strings. This is a documented contract
+bound, not a probabilistic hash collision: token-substring containment is
+exact only for corpora whose tokens are \\x1f-free (every real text
+corpus; \\x1f is an ASCII control char). Callers with adversarial bytes
+should pre-strip \\x1f or treat it as whitespace upstream.
 """
 
 from __future__ import annotations
@@ -170,9 +194,16 @@ def substring_pairs(
             reps, cfg, id_col=id_col, text_col=text_col
         ).unionByName(identity)
 
+    # TOKENIZATION (module contract): ASCII-whitespace split, runs
+    # collapse, no empty tokens — identical to the Arrow batch kernels
+    # (_gram_hash_batch / simhash_batch). A token-less text (empty or
+    # whitespace-only) contains nothing and is contained in nothing.
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.split(F.col(text_col), " ").alias("toks"),
+        F.filter(
+            F.split(F.col(text_col), "[ \t\n\x0b\f\r]+"),
+            lambda t: t != F.lit(""),
+        ).alias("toks"),
     ).withColumn("n_tok", F.size("toks"))
 
     m_expr = F.pow(F.lit(2.0), F.floor(F.log2("n_tok"))).cast("int")

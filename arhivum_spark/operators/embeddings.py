@@ -166,12 +166,18 @@ def _cap_buckets(bucketed: DataFrame, cap: int) -> DataFrame:
     map-side (they can't produce pairs). The bucket-size frame has at most
     n_tables * 2^nbits rows — always broadcastable.
 
-    When NO bucket exceeds the cap — the common un-skewed case — the
-    filter join is skipped entirely and the (checkpointed) input returns
-    as-is, so well-behaved corpora pay one tiny driver-side agg instead
-    of a broadcast join per downstream consumer. The skewed path adds
-    `_bn` (pre-cap bucket population); callers must not rely on it
-    (`df.drop("_bn")` is a no-op when absent)."""
+    Both paths drop singleton buckets and feed IDENTICAL candidate frames;
+    the un-skewed fast path (no bucket over the cap — the common case)
+    skips only the cap arithmetic, filtering singletons with a broadcast
+    left-semi join (map-side, fused into the consumer stage — no extra
+    pass over the bucketed frame, and no `_bn` column). The skewed path
+    adds `_bn` (pre-cap bucket population); callers must not rely on it
+    (`df.drop("_bn")` is a no-op when absent).
+
+    EAGER: the max-bucket probe runs a Spark job at call time (it also
+    materializes the lazy localCheckpoint below), so merely CONSTRUCTING
+    a plan through this valve computes the full signature/bucketing pass.
+    Public callers document this."""
     # two consumers (size count + the join below) — pin the signature-UDF
     # output once or the Arrow kernel runs twice; the max-size probe below
     # materializes the lazy checkpoint, so the main query reads the pinned
@@ -180,11 +186,14 @@ def _cap_buckets(bucketed: DataFrame, cap: int) -> DataFrame:
     sizes = bucketed.groupBy("table", "bucket").agg(F.count("*").alias("_bn"))
     # sizes has <= n_tables * 2^nbits rows — the probe is one scalar
     max_bn = sizes.agg(F.max("_bn")).first()[0]
+    multi = sizes.filter(F.col("_bn") >= 2)
     if max_bn is None or max_bn <= cap:
-        return bucketed
-    return bucketed.join(
-        F.broadcast(sizes.filter(F.col("_bn") >= 2)), ["table", "bucket"]
-    ).filter(
+        return bucketed.join(
+            F.broadcast(multi.select("table", "bucket")),
+            ["table", "bucket"],
+            "left_semi",
+        )
+    return bucketed.join(F.broadcast(multi), ["table", "bucket"]).filter(
         (F.col("_bn") <= cap)
         | (
             F.pmod(
@@ -215,6 +224,10 @@ def rhp_bucket_candidates(
     nbits tunes the blocking factor against recall. Buckets above
     `max_bucket_members` are down-sampled by deterministic draw
     (_cap_buckets) — the O(k^2)-per-bucket blowup valve.
+
+    EAGER: constructing this plan runs Spark jobs (the dim probe and
+    _cap_buckets' max-bucket-size probe, which materializes the full
+    signature/bucketing pass) — do not build it speculatively.
     """
     dim = len(df.select(vec_col).first()[0])
     base = with_norm(df, vec_col).select(F.col(id_col).alias("_cid"), "vecd")
@@ -257,6 +270,9 @@ def rhp_neardup_pairs(
     bucket explode exactly once (n * n_tables rows) and no pair ever
     carries a payload. Degenerate buckets are capped by _cap_buckets, so
     per-task work is bounded by max_bucket_members^2 regardless of skew.
+
+    EAGER: constructing this plan runs Spark jobs (dim probe +
+    _cap_buckets' max-bucket probe materializing the signature pass).
     """
     import pandas as pd
 
@@ -333,6 +349,9 @@ def rhp_star_neardup_edges(
     only member-to-member can be missed, so use it for SemDeDup-style
     keep/drop where the threshold is well inside the cluster diameter.
     Output: (src, dst, cosine) with src = bucket hub.
+
+    EAGER: constructing this plan runs Spark jobs (dim probe +
+    _cap_buckets' max-bucket probe materializing the signature pass).
     """
     import pandas as pd
 
@@ -422,6 +441,9 @@ def rhp_ann_topk(
     degenerately hot bucket both corpus and query membership degrade
     gracefully (other tables still contribute) instead of the join
     exploding quadratically.
+
+    EAGER: constructing this plan runs Spark jobs (dim probe +
+    _cap_buckets' max-bucket probe materializing the signature pass).
     """
     dim = len(df.select(vec_col).first()[0])
     base = with_norm(df, vec_col).select(

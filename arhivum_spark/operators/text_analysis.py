@@ -35,7 +35,15 @@ TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def _tokens(text_col: str) -> Column:
-    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # Module-wide tokenization contract shared with operators/dedup_text
+    # (see its module docstring): maximal runs of non-whitespace, where
+    # whitespace = the six ASCII separators \x20,\x09-\x0d; runs collapse,
+    # no empty tokens. Keeps "n-gram similarity" (here) and "substring
+    # containment" / MinHash kernels (dedup_text) agreeing on what a
+    # token is for any caption containing tabs/newlines.
+    return F.filter(
+        F.split(F.col(text_col), "[ \t\n\x0b\f\r]+"), lambda t: t != ""
+    )
 
 
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -174,16 +174,33 @@ def run_pipeline(
 
     Side effect: bounds the session's parquet vectorized-reader batch
     (``spark.sql.parquet.columnarReaderBatchSize``) to
-    ``cfg.parquet_batch_rows`` — every scan this pipeline performs carries
-    multi-KB binary payloads, and the default 4096-row reader buffer is a
-    per-task-thread heap OOM at scale (see DedupConfig.parquet_batch_rows).
+    ``cfg.parquet_batch_rows`` for the DURATION of the pipeline — every
+    scan this pipeline performs carries multi-KB binary payloads, and the
+    default 4096-row reader buffer is a per-task-thread heap OOM at scale
+    (see DedupConfig.parquet_batch_rows). The prior session value is
+    restored on return so unrelated queries sharing the session keep the
+    default (wide) vectorized-scan batches.
     """
-    if cfg.parquet_batch_rows:
-        images.sparkSession.conf.set(
-            "spark.sql.parquet.columnarReaderBatchSize",
-            str(cfg.parquet_batch_rows),
-        )
+    if cfg.parquet_batch_rows is not None:
+        conf = images.sparkSession.conf
+        key = "spark.sql.parquet.columnarReaderBatchSize"
+        prior = conf.get(key, None)
+        conf.set(key, str(cfg.parquet_batch_rows))
+        try:
+            return _run_pipeline_stages(images, store, cfg)
+        finally:
+            if prior is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prior)
+    return _run_pipeline_stages(images, store, cfg)
 
+
+def _run_pipeline_stages(
+    images: DataFrame,
+    store: StageStore,
+    cfg: DedupConfig,
+) -> DataFrame:
     sigs = store.read_or_compute(
         "s1_signatures",
         lambda: attach_signatures(images, cfg),

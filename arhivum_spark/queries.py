@@ -40,6 +40,16 @@ def _doc_hash_spark():
 
 _DOC_HASH_SQL = "md5(concat_ws('|', 'h', CAST(n_chars % 50 AS VARCHAR)))"
 
+# Tokenization contract (operators/dedup_text module docstring): a token is
+# a maximal run of non-whitespace, whitespace = the six ASCII separators
+# \x20,\x09-\x0d. Both engines implement it — Spark via the same regex
+# class (text_analysis._tokens / substring_pairs), DuckDB via RE2 below
+# (single-quoted SQL strings pass the backslash escapes through verbatim).
+_TOKS_RE = r"[ \t\n\x0b\f\r]+"
+_TOKS_SQL = (
+    rf"list_filter(regexp_split_to_array(text, '{_TOKS_RE}'), x -> x <> '')"
+)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
@@ -172,8 +182,10 @@ GROUP BY source
 def q_a3_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         _docs(spark, sf_dir)
-        .select("source", F.explode(F.split("text", " ")).alias("item"))
-        .filter(F.col("item") != "")
+        .select(
+            "source",
+            F.explode(text_analysis._tokens("text")).alias("item"),
+        )
     )
     return group_analytics.jaccard_between_groups(toks, "source", "item").select(
         "group_a", "group_b", "inter", "size_a", "size_b",
@@ -184,7 +196,8 @@ def q_a3_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_A3 = """
 WITH gi AS (
   SELECT DISTINCT source AS g, tok.item AS item
-  FROM documents, unnest(string_split(text, ' ')) AS tok(item)
+  FROM documents, unnest(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'))
+       AS tok(item)
   WHERE tok.item <> ''
 ), sizes AS (SELECT g, count(*) AS sz FROM gi GROUP BY g),
 pairs AS (
@@ -704,7 +717,7 @@ _SW = {
     lang: ", ".join(f"'{w}'" for w in ws)
     for lang, ws in text_analysis.STOPWORDS.items()
 }
-_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+# _TOKS_SQL (tokenization contract) is defined once at module top.
 _ALL_SW = ", ".join(
     f"'{w}'" for ws in text_analysis.STOPWORDS.values() for w in ws
 )
@@ -764,8 +777,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NGRAM_JACCARD = """
-WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+SQL_NGRAM_JACCARD = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks
            FROM documents),
 g AS (
   SELECT doc_id, unnest(list_distinct(
@@ -1568,9 +1581,9 @@ def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DOCS_MINHASH_LSH = """
+SQL_DOCS_MINHASH_LSH = f"""
 WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                  list_filter(string_split(text,' '), x -> x <> '') AS toks
+                  {_TOKS_SQL} AS toks
            FROM documents),
 g AS (
   SELECT doc_id, unnest(list_distinct(
@@ -1593,6 +1606,9 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
 # full token sequence appears contiguously inside container's. With
 # single-space-joined tokens this is exactly delimited string containment,
 # so DuckDB's position() is a true oracle for the window-hash join.
+# (The string_split(text,' ') below is the symmetric DATA-PREP step on
+# both engines — the derived corpus is single-space-joined, so the
+# operator's contract tokenizer sees identical tokens either way.)
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arhivum_spark.config import DedupConfig
     from arhivum_spark.operators.dedup_text import substring_pairs
@@ -1720,48 +1736,54 @@ def q_st_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query on a real cluster — the staging copy below uses local file
     # ops, so object-store URIs would additionally need Hadoop-FS staging.
     # The tempfile default is the local-mode fallback.
+    # Always mkdtemp — a fixed (e.g. pid-keyed) path would crash a second
+    # invocation in the same process at makedirs and, worse, let the
+    # append-mode "out" parquet accumulate stale rows from a killed prior
+    # run with the same path. mkdtemp guarantees a fresh, empty root.
     scratch = spark.conf.get("spark.arhivum.scratchDir", None)
     if scratch:
-        tmp = os.path.join(scratch, f"arhivum-stfw-{os.getpid()}")
+        os.makedirs(scratch, exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=scratch, prefix="arhivum-stfw-")
     else:
         tmp = tempfile.mkdtemp(prefix="arhivum-stfw-")
     out, ck = os.path.join(tmp, "out"), os.path.join(tmp, "ck")
-    # the file-stream source wants a DIRECTORY of files — stage the table
-    # file into one (this is also the natural shape of a real ingest drop
-    # directory, which is what the stream models)
-    src_dir = os.path.join(tmp, "in")
-    os.makedirs(src_dir)
-    shutil.copy(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(src_dir, "documents.parquet"),
-    )
-    src = (
-        spark.readStream.schema(batch.schema)
-        .parquet(src_dir)
-        .select("doc_id", "n_chars")
-        .withColumn("sha256", _doc_hash_spark())
-    )
-    flagged = flag_duplicates_stateful(
-        src, hash_col="sha256", id_col="doc_id", order_within_batch=True
-    )
+    try:
+        # the file-stream source wants a DIRECTORY of files — stage the
+        # table file into one (this is also the natural shape of a real
+        # ingest drop directory, which is what the stream models)
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(src_dir, "documents.parquet"),
+        )
+        src = (
+            spark.readStream.schema(batch.schema)
+            .parquet(src_dir)
+            .select("doc_id", "n_chars")
+            .withColumn("sha256", _doc_hash_spark())
+        )
+        flagged = flag_duplicates_stateful(
+            src, hash_col="sha256", id_col="doc_id", order_within_batch=True
+        )
 
-    def write_batch(bdf: DataFrame, batch_id: int) -> None:
-        bdf.write.mode("append").parquet(out)
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            bdf.write.mode("append").parquet(out)
 
-    (
-        flagged.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    result = spark.read.parquet(out).select(
-        "doc_id", "is_duplicate", "representative_id"
-    )
-    # materialize before the temp dir is removed
-    rows = result.localCheckpoint()
-    shutil.rmtree(tmp, ignore_errors=True)
-    return rows
+        (
+            flagged.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        result = spark.read.parquet(out).select(
+            "doc_id", "is_duplicate", "representative_id"
+        )
+        # materialize before the temp dir is removed
+        return result.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 SQL_ST_FIRST_WINS = f"""
@@ -1775,13 +1797,36 @@ SELECT doc_id, is_duplicate, representative_id FROM flagged
 """
 
 
-# IVF with FIXED centroids (= first 8 rows by vec_id) is SQL-expressible:
-# argmin over k literal centroid vectors of (c.c - 2 x.c), the same
-# quantity the Spark kernel minimizes. Iterative Lloyd's (centroid_assign)
-# shares the kernel and stays pytest-gated (tests/test_training_ops.py).
-def q_emb_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = embeddings.fixed_centroid_assign(_emb(spark, sf_dir), n_cells=8)
-    return cells.groupBy("cell").agg(F.count("*").alias("n")).orderBy("cell")
+# IVF, merged evidence row (registry pinned at 50). Two legs share the
+# embeddings scan:
+#  - fixed-centroid cell assignment (= first 8 rows by vec_id) is
+#    SQL-expressible: argmin over k literal centroid vectors of
+#    (c.c - 2 x.c), the same quantity the Spark kernel minimizes. Each
+#    top-k neighbor row carries its cell + cell population, so the
+#    assignment is value-checked per neighbor.
+#  - ivf_probe_topk — the inverted-file SEARCH path (Lloyd's-refined
+#    centroids, per-query probe-cell selection, cell equi-join, ranking
+#    window) — driven at nprobe = n_cells: probing EVERY cell degenerates
+#    to exact top-k independent of the learned centroids, so DuckDB's
+#    exact kNN is a true oracle while the real probe plan executes.
+# Iterative Lloyd's cell QUALITY stays pytest-gated
+# (tests/test_training_ops.py); here its kernel runs inside the checked
+# plan (n_iters=2 mapInPandas partial-sum passes).
+def q_emb_ivf_cells_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cells = embeddings.fixed_centroid_assign(emb, n_cells=8)
+    sizes = cells.groupBy("cell").agg(F.count("*").alias("cell_n"))
+    qids = emb.select("vec_id").filter(F.col("vec_id") % 97 == 0)
+    topk = embeddings.ivf_probe_topk(
+        emb, qids, k=3, n_cells=8, nprobe=8, n_iters=2
+    )
+    return (
+        topk.join(
+            cells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(sizes, "cell")
+        .select("query_id", "neighbor_id", "cosine", "rank", "cell", "cell_n")
+    )
 
 
 SQL_EMB_IVF_CELLS = """
@@ -1794,12 +1839,28 @@ d AS (
          list_inner_product(c.cv, c.cv)
            - 2 * list_inner_product(e.embedding::DOUBLE[], c.cv) AS dist
   FROM embeddings e CROSS JOIN c),
-best AS (
-  SELECT vec_id, cell,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-  FROM d)
-SELECT cell, count(*) AS n FROM best WHERE rk = 1
-GROUP BY cell ORDER BY cell
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+    FROM d) WHERE rk = 1),
+sizes AS (SELECT cell, count(*) AS cell_n FROM assign GROUP BY cell),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+topk AS (
+  SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM scored)
+  WHERE rk <= 3)
+SELECT t.query_id, t.neighbor_id, t.cosine, t.rank, a.cell, s.cell_n
+FROM topk t
+JOIN assign a ON a.vec_id = t.neighbor_id
+JOIN sizes s ON s.cell = a.cell
 """
 
 
@@ -1843,7 +1904,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "emb_knn_bruteforce": (q_emb_knn, SQL_EMB_KNN),
     "emb_ann_topk": (q_emb_ann_topk, SQL_EMB_ANN),
-    "emb_ivf_cells": (q_emb_ivf_cells, SQL_EMB_IVF_CELLS),
+    "emb_ivf_cells_probe": (q_emb_ivf_cells_probe, SQL_EMB_IVF_CELLS),
     "emb_neardup_pairs": (q_emb_neardup, SQL_EMB_NEARDUP),
     "mm_exif_audio_meta": (q_mm_media_exif, SQL_MM_MEDIA_EXIF),
     "f_scalar_functions": (q_scalar_functions, SQL_SCALARS),

@@ -147,3 +147,61 @@ class StageStore:
         if not os.path.exists(path):
             return None
         return self.spark.read.parquet(path)
+
+    def prune(self, keep_last_metrics: int = 1) -> dict:
+        """Manifest-led GC (retention story — at production scale the
+        stage store IS the Iceberg table and this is `expire_snapshots`):
+
+        - ABANDONED stage roots — directories with no manifest entry or
+          no ``data/_SUCCESS`` (a write that died mid-job; Spark's job
+          commit makes complete-or-absent per directory, but the
+          directory itself survives a driver kill) — are deleted, along
+          with any dangling manifest entry. A rerun recomputes them; a
+          committed stage is NEVER touched, so a pruned store resumes
+          exactly like an unpruned one (test-gated).
+        - SUPERSEDED metrics generations — every ``write()`` appends one
+          ``<stage>-<millis>.parquet`` to ``_metrics``; repeated reruns
+          accumulate them unboundedly. Keep the newest
+          ``keep_last_metrics`` per stage.
+
+        Returns {"stages": [removed stage roots], "metrics": [removed
+        metric files]} for operator logging.
+        """
+        import shutil
+
+        removed: dict = {"stages": [], "metrics": []}
+        m = self._manifest()
+        for entry in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, entry)
+            if entry == "_metrics" or not os.path.isdir(p):
+                continue
+            if not self.is_committed(entry):
+                shutil.rmtree(p, ignore_errors=True)
+                m["stages"].pop(entry, None)
+                removed["stages"].append(entry)
+        # manifest entries whose directories vanished entirely
+        for stage in [
+            s
+            for s in m["stages"]
+            if not os.path.isdir(os.path.join(self.root, s))
+        ]:
+            m["stages"].pop(stage, None)
+            removed["stages"].append(stage)
+        self._commit_manifest(m)
+
+        mdir = os.path.join(self.root, "_metrics")
+        if os.path.isdir(mdir) and keep_last_metrics >= 0:
+            by_stage: dict[str, list[str]] = {}
+            for fn in os.listdir(mdir):
+                if not fn.endswith(".parquet"):
+                    continue
+                stage = fn[: -len(".parquet")].rsplit("-", 1)[0]
+                by_stage.setdefault(stage, []).append(fn)
+            for stage, files in by_stage.items():
+                # filename millis timestamp orders generations
+                for fn in sorted(files)[
+                    : max(0, len(files) - keep_last_metrics)
+                ]:
+                    os.remove(os.path.join(mdir, fn))
+                    removed["metrics"].append(fn)
+        return removed

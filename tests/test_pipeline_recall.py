@@ -136,18 +136,42 @@ def test_caption_pairs_cover_planted_caption_dups(spark, images, tmp_path_factor
     assert recall >= 0.99, f"caption-pair recall {recall:.4f}; missing {missing[:5]}"
 
 
-def test_pipeline_bounds_parquet_reader_batch(spark, images, tmp_path_factory):
+def test_pipeline_bounds_parquet_reader_batch(
+    spark, images, tmp_path_factory, monkeypatch
+):
     """Regression (round 4): the parquet vectorized reader reserves
     batch_rows x avg-cell-bytes contiguous PER TASK THREAD; the 4096-row
     default on a ~23 KB/row binary column OOMed a 16 GB heap with 32 task
     threads at 2.4M images. run_pipeline must pin the session's reader
-    batch to cfg.parquet_batch_rows before any scan."""
+    batch to cfg.parquet_batch_rows for every scan it performs — and
+    (round 5, ADVICE) restore the prior session value on return so
+    unrelated queries sharing the session keep wide scan batches."""
+    from arhivum_spark.plans import image_dedup as mod
+
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    seen: list[str] = []
+    real_stages = mod._run_pipeline_stages
+
+    def spy(images_df, store_arg, cfg_arg):
+        seen.append(spark.conf.get(key))
+        return real_stages(images_df, store_arg, cfg_arg)
+
+    monkeypatch.setattr(mod, "_run_pipeline_stages", spy)
     store = StageStore(spark, str(tmp_path_factory.mktemp("rbstages")))
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4096")
+    spark.conf.set(key, "4096")
     run_pipeline(images.limit(50), store, CFG)
-    assert spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") == str(
-        CFG.parquet_batch_rows
+    # pinned while the pipeline's scans run ...
+    assert seen == [str(CFG.parquet_batch_rows)]
+    # ... and the caller's session value restored afterwards
+    assert spark.conf.get(key) == "4096"
+    # restore-to-unset when there was no prior value
+    spark.conf.unset(key)
+    run_pipeline(
+        images.limit(20),
+        StageStore(spark, str(tmp_path_factory.mktemp("rbstages2"))),
+        CFG,
     )
+    assert spark.conf.get(key, None) is None
 
 
 def test_resume_reuses_committed_stages(spark, images, tmp_path_factory):
