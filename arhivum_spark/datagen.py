@@ -160,9 +160,24 @@ IMAGES_SCHEMA = (
 )
 
 
-def images_df(spark, p: GenParams, partitions: int | None = None):
-    """Distributed generation: spark.range -> mapInPandas, no shuffle."""
+def images_df(
+    spark,
+    p: GenParams,
+    partitions: int | None = None,
+    lo: int = 0,
+    hi: int | None = None,
+):
+    """Distributed generation: spark.range -> mapInPandas, no shuffle.
+
+    ``lo``/``hi`` generate only the index sub-range [lo, hi) of the SAME
+    n-row corpus (build_row is index-pure), so a corpus larger than any
+    single storage tier can be written in location-split slices — e.g.
+    half to disk, half to tmpfs — and read back as one table with
+    ``spark.read.parquet(path_a, path_b)``. Slicing never changes row
+    content: images_df(p)[lo:hi] == images_df(p, lo=lo, hi=hi).
+    """
     nparts = partitions or spark.sparkContext.defaultParallelism
+    hi = p.n if hi is None else hi
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -170,7 +185,7 @@ def images_df(spark, p: GenParams, partitions: int | None = None):
             yield pd.DataFrame(rows)
 
     return (
-        spark.range(0, p.n, 1, nparts)
+        spark.range(lo, hi, 1, nparts)
         .mapInPandas(gen, schema=IMAGES_SCHEMA)
     )
 

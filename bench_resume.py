@@ -71,35 +71,107 @@ def run_job(stage_root: str) -> dict:
     return {"wall_sec": round(wall, 1), "rows": n_rows, "clusters": n_clusters}
 
 
-def killed_run(stage_root: str) -> dict:
-    """Launch run_job in a child process group; SIGKILL the whole group
-    (python driver AND the local-mode JVM) mid-stage-3."""
+# pipeline stage commit order (plans/image_dedup.py) + the caption stage
+STAGES = [
+    "s1_signatures",
+    "s2_exact",
+    "s3_candidates",
+    "s3b_psnr",
+    "s4_clusters",
+    "s5_captions",
+]
+
+
+def run_job_full(stage_root: str) -> dict:
+    """Matrix-mode job: pipeline + caption stage, with order-independent
+    bit_xor checksums so 'identical output' is value-level, not just
+    row-count-level. Used in-process for the reference/resume phases and
+    as the child for every kill point (the child must attempt ALL stages
+    so a kill can land in any of them, including s5 whose write path is
+    materialize_first=True — a different commit sequence than the
+    pure-JVM stages)."""
+    from pyspark.sql import functions as F
+
+    from arhivum_spark.config import DedupConfig
+    from arhivum_spark.plans.image_dedup import caption_pairs, run_pipeline
+    from arhivum_spark.session import get_spark
+    from arhivum_spark.sources.checkpoints import StageStore
+
+    spark = get_spark(
+        f"resume_{CORES}", cores=CORES, shuffle_partitions=4 * CORES
+    )
+    images = spark.read.parquet(INPUT)
+    store = StageStore(spark, stage_root)
+    cfg = DedupConfig()
+    t0 = time.time()
+    out = run_pipeline(images, store, cfg)
+    csum = out.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(image_id, cluster_id))").alias("x"),
+        F.countDistinct("cluster_id").alias("k"),
+    ).first()
+    caps = caption_pairs(store.read("s1_signatures"), store, cfg)
+    cap_csum = caps.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(id_a, id_b, pair_class))").alias("x"),
+    ).first()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "wall_sec": round(wall, 1),
+        "rows": csum["n"],
+        "clusters": csum["k"],
+        "cluster_xor": csum["x"],
+        "caption_rows": cap_csum["n"],
+        "caption_xor": cap_csum["x"],
+    }
+
+
+def killed_run(
+    stage_root: str,
+    trigger_stage: str | None = "s2_exact",
+    delay: float | None = None,
+    child_mode: str = "--child",
+) -> dict:
+    """Launch the job in a child process group; SIGKILL the whole group
+    (python driver AND the local-mode JVM) `delay` seconds after
+    `trigger_stage` commits (None: after child start — lands inside s1,
+    before any commit)."""
+    if delay is None:
+        delay = KILL_DELAY_AFTER_S2
     env = dict(os.environ)
     env.setdefault("SPARK_LOCAL_DIRS", os.path.join(WORKDIR, "spark_local"))
     child = subprocess.Popen(
-        [sys.executable, __file__, "--child", stage_root],
+        [sys.executable, __file__, child_mode, stage_root],
         env=env,
         start_new_session=True,  # own process group -> killpg reaps the JVM
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
     )
     t0 = time.time()
-    s2_at = None
+    trig_at = t0 if trigger_stage is None else None
+    completed = False
     while True:
         if child.poll() is not None:
-            raise RuntimeError(
-                "child finished before the kill fired — raise "
-                "SPARK_GRAFT_RESUME_N or lower SPARK_GRAFT_RESUME_KILL_DELAY"
-            )
+            completed = True
+            break
         stages = _manifest(stage_root)["stages"]
-        if s2_at is None and "s2_exact" in stages:
-            s2_at = time.time()
-        if s2_at is not None and time.time() - s2_at >= KILL_DELAY_AFTER_S2:
+        if trig_at is None and trigger_stage in stages:
+            trig_at = time.time()
+        if trig_at is not None and time.time() - trig_at >= delay:
             break
         if time.time() - t0 > 1800:
             os.killpg(child.pid, signal.SIGKILL)
-            raise RuntimeError("child never reached s2_exact in 30 min")
+            raise RuntimeError(
+                f"child never reached {trigger_stage} in 30 min"
+            )
         time.sleep(0.5)
+    if completed:
+        raise RuntimeError(
+            f"child finished before the kill fired (trigger="
+            f"{trigger_stage}, delay={delay}) — raise SPARK_GRAFT_RESUME_N "
+            "or lower the delay"
+        )
     os.killpg(child.pid, signal.SIGKILL)
     child.wait()
     killed_after = round(time.time() - t0, 1)
@@ -113,9 +185,84 @@ def killed_run(stage_root: str) -> dict:
     }
 
 
+def matrix_main() -> None:
+    """Kill/resume at EVERY stage boundary (round-5 VERDICT task 4): one
+    reference run, then one kill point inside each stage — s1 (no commit
+    yet), s2..s4 (pure-JVM write path), s3b (pandas-UDF stage), s5
+    (materialize_first=True write path) — each followed by a resume that
+    must reproduce the reference's value-level checksums and reuse every
+    stage committed at kill verbatim (manifest timestamps unchanged).
+    Prints one JSON line."""
+    os.environ.setdefault(
+        "SPARK_LOCAL_DIRS", os.path.join(WORKDIR, "spark_local")
+    )
+    root_full = os.path.join(WORKDIR, "resume_matrix_full")
+    shutil.rmtree(root_full, ignore_errors=True)
+    full = run_job_full(root_full)
+    shutil.rmtree(root_full, ignore_errors=True)
+
+    # kill inside stage k = trigger on the previous stage's commit (None
+    # for s1). Delay after trigger is small so the kill lands early in
+    # the next stage; s1's own delay must clear session startup.
+    s1_delay = float(os.environ.get("SPARK_GRAFT_RESUME_S1_DELAY", "30"))
+    delay = float(os.environ.get("SPARK_GRAFT_RESUME_MATRIX_DELAY", "3"))
+    points = [(STAGES[0], None, s1_delay)] + [
+        (STAGES[i + 1], STAGES[i], delay) for i in range(len(STAGES) - 1)
+    ]
+    rows = []
+    all_ok = True
+    for kill_in, trigger, d in points:
+        root = os.path.join(WORKDIR, f"resume_matrix_{kill_in}")
+        shutil.rmtree(root, ignore_errors=True)
+        kill = killed_run(root, trigger, d, child_mode="--child-full")
+        resumed = run_job_full(root)
+        after = _manifest(root)["stages"]
+        reused = sorted(
+            s
+            for s in kill["committed_ts"]
+            if after.get(s, {}).get("committed_at")
+            == kill["committed_ts"][s]
+        )
+        ok = (
+            resumed["clusters"] == full["clusters"]
+            and resumed["cluster_xor"] == full["cluster_xor"]
+            and resumed["rows"] == full["rows"]
+            and resumed["caption_rows"] == full["caption_rows"]
+            and resumed["caption_xor"] == full["caption_xor"]
+            and reused == kill["committed_at_kill"]
+        )
+        all_ok = all_ok and ok
+        rows.append(
+            {
+                "kill_in": kill_in,
+                "committed_at_kill": kill["committed_at_kill"],
+                "killed_after_sec": kill["killed_after_sec"],
+                "resume_wall_sec": resumed["wall_sec"],
+                "stages_reused_verbatim": reused,
+                "matches_reference": ok,
+            }
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "resume_kill_matrix",
+                "n_images": N_IMAGES,
+                "cores": CORES,
+                "reference": full,
+                "kill_points": rows,
+                "all_match": all_ok,
+            }
+        )
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         run_job(sys.argv[2])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--child-full":
+        run_job_full(sys.argv[2])
         return
 
     if not os.path.exists(os.path.join(INPUT, "_SUCCESS")):
@@ -123,6 +270,9 @@ def main() -> None:
             f"input {INPUT} missing — run bench_scaling.py's generate_input "
             "first (or set SPARK_GRAFT_RESUME_N to an existing size)"
         )
+    if os.environ.get("SPARK_GRAFT_RESUME_MATRIX") == "1":
+        matrix_main()
+        return
     os.environ.setdefault(
         "SPARK_LOCAL_DIRS", os.path.join(WORKDIR, "spark_local")
     )

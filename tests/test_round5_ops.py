@@ -262,3 +262,28 @@ def test_stage_store_prune_keeps_resume(spark, tmp_path):
     assert store2.read_or_compute("s3", lambda: df.limit(7)).count() == 7
     # prune with everything healthy is a no-op
     assert store2.prune(keep_last_metrics=1)["stages"] == []
+
+
+def test_images_df_range_slices_match_full(spark):
+    """Location-split corpus generation (disk+tmpfs halves for inputs
+    larger than any single tier): generating [lo, hi) slices of the SAME
+    GenParams must reproduce the full corpus exactly — build_row is
+    index-pure, so slicing can never change row content."""
+    import pandas as pd
+
+    from arhivum_spark import datagen
+
+    p = datagen.GenParams(n=200, seed=7, img_hw=64)
+    full = (
+        datagen.images_df(spark, p, partitions=4)
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    a = datagen.images_df(spark, p, partitions=2, lo=0, hi=80).toPandas()
+    b = datagen.images_df(spark, p, partitions=2, lo=80, hi=200).toPandas()
+    split = (
+        pd.concat([a, b]).sort_values("image_id").reset_index(drop=True)
+    )
+    assert len(a) == 80 and len(b) == 120
+    assert split.equals(full)
