@@ -22,6 +22,8 @@ appends per-partition metrics. All joins on ids/signatures only.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -164,6 +166,37 @@ def psnr_verify_edges(
     return edges.join(scored, ["src", "dst"])
 
 
+@contextmanager
+def pinned_reader_batch(spark, rows: int | None):
+    """Bound the session's parquet vectorized-reader batch
+    (``spark.sql.parquet.columnarReaderBatchSize``) to ``rows`` for the
+    duration of the block, restoring the prior value on exit.
+
+    The reader reserves batch_rows x avg-cell-bytes CONTIGUOUS bytes per
+    task thread; on multi-KB binary image columns the 4096-row default is
+    ~95 MB/thread — a guaranteed heap OOM at 32 threads on a 16 GB heap
+    (measured at 2.4M images, round 4; hit AGAIN in round 5 through the
+    caption-only harness path that called attach_signatures without the
+    pipeline's pin — hence this shared guard). ANY plan that scans an
+    image-bytes parquet with pandas UDFs downstream must run inside this.
+    ``rows=None`` is a no-op passthrough.
+    """
+    if rows is None:
+        yield
+        return
+    conf = spark.conf
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    prior = conf.get(key, None)
+    conf.set(key, str(rows))
+    try:
+        yield
+    finally:
+        if prior is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prior)
+
+
 def run_pipeline(
     images: DataFrame,
     store: StageStore,
@@ -172,28 +205,15 @@ def run_pipeline(
     """images -> committed cluster table (image_id, cluster_id, is_duplicate,
     representative_id, content_sha256). Resumes from committed stages.
 
-    Side effect: bounds the session's parquet vectorized-reader batch
-    (``spark.sql.parquet.columnarReaderBatchSize``) to
+    Side effect: bounds the session's parquet vectorized-reader batch to
     ``cfg.parquet_batch_rows`` for the DURATION of the pipeline — every
-    scan this pipeline performs carries multi-KB binary payloads, and the
-    default 4096-row reader buffer is a per-task-thread heap OOM at scale
-    (see DedupConfig.parquet_batch_rows). The prior session value is
-    restored on return so unrelated queries sharing the session keep the
-    default (wide) vectorized-scan batches.
+    scan this pipeline performs carries multi-KB binary payloads (see
+    pinned_reader_batch). The prior session value is restored on return
+    so unrelated queries sharing the session keep the default (wide)
+    vectorized-scan batches.
     """
-    if cfg.parquet_batch_rows is not None:
-        conf = images.sparkSession.conf
-        key = "spark.sql.parquet.columnarReaderBatchSize"
-        prior = conf.get(key, None)
-        conf.set(key, str(cfg.parquet_batch_rows))
-        try:
-            return _run_pipeline_stages(images, store, cfg)
-        finally:
-            if prior is None:
-                conf.unset(key)
-            else:
-                conf.set(key, prior)
-    return _run_pipeline_stages(images, store, cfg)
+    with pinned_reader_batch(images.sparkSession, cfg.parquet_batch_rows):
+        return _run_pipeline_stages(images, store, cfg)
 
 
 def _run_pipeline_stages(

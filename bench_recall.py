@@ -41,16 +41,25 @@ def caption_recall(spark, images, p, workdir: str) -> dict:
     from arhivum_spark import datagen
     from arhivum_spark.config import DedupConfig
     from arhivum_spark.functions.signatures import attach_signatures
-    from arhivum_spark.plans.image_dedup import caption_pairs
+    from arhivum_spark.plans.image_dedup import (
+        caption_pairs,
+        pinned_reader_batch,
+    )
     from arhivum_spark.sources.checkpoints import StageStore
 
     stage_root = os.path.join(workdir, "stages_caption")
     shutil.rmtree(stage_root, ignore_errors=True)
+    cfg = DedupConfig()
     t0 = time.time()
-    sigs = attach_signatures(images, DedupConfig())
-    got = caption_pairs(
-        sigs, StageStore(spark, stage_root), DedupConfig()
-    ).toPandas()
+    # this path scans the raw image-bytes parquet through attach_signatures
+    # WITHOUT run_pipeline's reader-batch pin — at 2.4M that is the exact
+    # round-4 vectorized-reader contiguous-buffer OOM (hit in round 5;
+    # "Cannot reserve additional contiguous bytes ... 97559482")
+    with pinned_reader_batch(spark, cfg.parquet_batch_rows):
+        sigs = attach_signatures(images, cfg)
+        got = caption_pairs(
+            sigs, StageStore(spark, stage_root), cfg
+        ).toPandas()
     wall = time.time() - t0
     shutil.rmtree(stage_root, ignore_errors=True)
     got_set = set(zip(got["id_a"], got["id_b"])) | set(
@@ -98,6 +107,26 @@ def main() -> None:
     input_path = bench_scaling.generate_input()
 
     p = datagen.GenParams(n=N_IMAGES, seed=42, img_hw=IMG_HW)
+
+    if os.environ.get("SPARK_GRAFT_RECALL_CAPTIONS_ONLY"):
+        # caption-stage gate alone (the pipeline dup-pair gate at this N
+        # already measured in its own window — don't redo ~10 min of
+        # pipeline to re-derive a number BENCH.md already carries)
+        spark = get_spark(
+            f"caprecall_{CORES}", cores=CORES, shuffle_partitions=4 * CORES
+        )
+        result = {
+            "metric": "caption_pair_recall_at_bench_scale",
+            "n_images": N_IMAGES,
+            "cores": CORES,
+        }
+        result.update(
+            caption_recall(spark, spark.read.parquet(input_path), p, WORKDIR)
+        )
+        spark.stop()
+        print(json.dumps(result))
+        return
+
     truth = datagen.truth_clusters(p)
 
     spark = get_spark(

@@ -287,3 +287,27 @@ def test_images_df_range_slices_match_full(spark):
     )
     assert len(a) == 80 and len(b) == 120
     assert split.equals(full)
+
+
+def test_pinned_reader_batch_contextmanager(spark):
+    """Round-5 regression: the reader-batch pin must be usable by ANY
+    image-bytes scan (the caption-only harness hit the round-4 OOM by
+    calling attach_signatures outside run_pipeline's pin): set inside the
+    block, restore-to-prior or restore-to-unset after, None = no-op."""
+    from arhivum_spark.plans.image_dedup import pinned_reader_batch
+
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    spark.conf.unset(key)
+    with pinned_reader_batch(spark, 128):
+        assert spark.conf.get(key) == "128"
+    assert spark.conf.get(key, None) is None
+    spark.conf.set(key, "999")
+    try:
+        with pinned_reader_batch(spark, 64):
+            assert spark.conf.get(key) == "64"
+        assert spark.conf.get(key) == "999"
+        with pinned_reader_batch(spark, None):
+            assert spark.conf.get(key) == "999"
+        assert spark.conf.get(key) == "999"
+    finally:
+        spark.conf.unset(key)
