@@ -302,12 +302,25 @@ def truth_clusters(p: GenParams) -> pd.DataFrame:
         for i in range(lo, hi):
             union(base_of(i, p), i)
     members: dict[int, list[int]] = {}
-    for x in set(parent) | set(blacks):
+    # Nodes = union losers + blacks + THE ROOTS THEMSELVES. A union's
+    # winning root never appears as a parent-dict key, so iterating only
+    # set(parent) drops every base row from its own cluster — with
+    # base_of a bijection (multiplier coprime to n_base) each non-black
+    # base has at most one derivative per cohort and EVERY non-black
+    # {base, derivative} truth pair degenerated to an excluded singleton.
+    # (Round-5 find: the bench recall gate was thereby measuring ONLY the
+    # all-black mega-cluster — 16.9M of 16.9M pairs at 600k — while the
+    # 142,512 non-black pairs went unchecked. The corrected truth's
+    # cluster arithmetic reproduces the pipeline's historical counts
+    # exactly: (600000 - 290,842) + 142,513 = 451,671.)
+    nodes = set(parent) | set(blacks)
+    nodes |= {find(x) for x in list(nodes)}
+    for x in nodes:
         members.setdefault(find(x), []).append(x)
     rows = [
         {"image_id": f"img-{i:010d}", "cluster_id": f"img-{root:010d}"}
         for root, mem in members.items()
-        if len(mem) > 1 or root in mem  # singleton blacks impossible; keep all
+        if len(mem) > 1  # every truth cluster now has base + derivative(s)
         for i in mem
     ]
     return pd.DataFrame(rows)

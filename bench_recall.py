@@ -104,7 +104,13 @@ def main() -> None:
         "SPARK_LOCAL_DIRS", os.path.join(WORKDIR, "spark_local")
     )
     bench_scaling.N_IMAGES = N_IMAGES
-    input_path = bench_scaling.generate_input()
+    # SPARK_GRAFT_RECALL_INPUT: comma-separated parquet paths of an
+    # EXISTING corpus for this N (e.g. bench_disk_scale.py's
+    # location-split disk+tmpfs halves) — skips generate_input
+    custom = os.environ.get("SPARK_GRAFT_RECALL_INPUT")
+    input_paths = (
+        custom.split(",") if custom else [bench_scaling.generate_input()]
+    )
 
     p = datagen.GenParams(n=N_IMAGES, seed=42, img_hw=IMG_HW)
 
@@ -121,7 +127,9 @@ def main() -> None:
             "cores": CORES,
         }
         result.update(
-            caption_recall(spark, spark.read.parquet(input_path), p, WORKDIR)
+            caption_recall(
+                spark, spark.read.parquet(*input_paths), p, WORKDIR
+            )
         )
         spark.stop()
         print(json.dumps(result))
@@ -132,7 +140,7 @@ def main() -> None:
     spark = get_spark(
         f"recall_{CORES}", cores=CORES, shuffle_partitions=4 * CORES
     )
-    images = spark.read.parquet(input_path)
+    images = spark.read.parquet(*input_paths)
     stage_root = os.path.join(WORKDIR, "stages_recall")
     shutil.rmtree(stage_root, ignore_errors=True)
     t0 = time.time()
@@ -158,6 +166,7 @@ def main() -> None:
     pred_pairs = pair_count(merged.groupby("cluster_id_p").size().values)
     precision = hit / pred_pairs if pred_pairs else 1.0
 
+    per_t = merged.groupby("cluster_id_t")["cluster_id_p"].nunique()
     result = {
         "metric": "dup_pair_recall_at_bench_scale",
         "n_images": N_IMAGES,
@@ -166,6 +175,8 @@ def main() -> None:
         "truth_pairs": total,
         "recall": round(recall, 6),
         "precision_on_truth_rows": round(precision, 6),
+        "split_truth_clusters": int((per_t > 1).sum()),
+        "truth_clusters": int(per_t.size),
         "clusters": int(n_clusters),
         "pipeline_wall_sec": round(wall, 1),
     }
@@ -175,7 +186,7 @@ def main() -> None:
         )
         result.update(
             caption_recall(
-                spark2, spark2.read.parquet(input_path), p, WORKDIR
+                spark2, spark2.read.parquet(*input_paths), p, WORKDIR
             )
         )
         spark2.stop()
