@@ -144,7 +144,17 @@ def main() -> None:
     stage_root = os.path.join(WORKDIR, "stages_recall")
     shutil.rmtree(stage_root, ignore_errors=True)
     t0 = time.time()
-    out = run_pipeline(images, StageStore(spark, stage_root), DedupConfig())
+    # SPARK_GRAFT_RECALL_CAP: override max_pairs_per_band — the knob the
+    # BENCH.md split-cluster attribution names. Running the same input
+    # with a raised cap is the controlled test of that diagnosis (splits
+    # should go to 0 if the cap is what samples truth edges out).
+    cap_env = os.environ.get("SPARK_GRAFT_RECALL_CAP")
+    cfg = (
+        DedupConfig(max_pairs_per_band=int(cap_env))
+        if cap_env
+        else DedupConfig()
+    )
+    out = run_pipeline(images, StageStore(spark, stage_root), cfg)
     pred = out.select("image_id", "cluster_id").toPandas()
     wall = time.time() - t0
     shutil.rmtree(stage_root, ignore_errors=True)
@@ -171,6 +181,7 @@ def main() -> None:
         "metric": "dup_pair_recall_at_bench_scale",
         "n_images": N_IMAGES,
         "cores": CORES,
+        "max_pairs_per_band": cfg.max_pairs_per_band,
         "truth_rows": int(len(truth)),
         "truth_pairs": total,
         "recall": round(recall, 6),
