@@ -177,6 +177,33 @@ def main() -> None:
     precision = hit / pred_pairs if pred_pairs else 1.0
 
     per_t = merged.groupby("cluster_id_t")["cluster_id_p"].nunique()
+    # Split-cluster diagnosis: which truth clusters split, and what KIND
+    # of derivative (exact / reenc / perturb / black) got separated —
+    # printed to stderr so the JSON stdout line stays parseable.
+    if (per_t > 1).any():
+        import sys
+
+        b = datagen._bounds(p)
+
+        def kind(idx: int) -> str:
+            for name, (lo, hi) in b.items():
+                if lo <= idx < hi:
+                    return name
+            return "?"
+
+        split_rows = merged[
+            merged["cluster_id_t"].isin(per_t[per_t > 1].index)
+        ]
+        for t_id, grp in split_rows.groupby("cluster_id_t"):
+            # minority members = the ones the pipeline separated
+            maj = grp["cluster_id_p"].mode().iloc[0]
+            lost = grp[grp["cluster_id_p"] != maj]["image_id"]
+            kinds = sorted(kind(int(i.split("-")[1])) for i in lost)
+            print(
+                f"SPLIT {t_id} size={len(grp)} lost={len(lost)} "
+                f"kinds={kinds[:8]}",
+                file=sys.stderr,
+            )
     result = {
         "metric": "dup_pair_recall_at_bench_scale",
         "n_images": N_IMAGES,
