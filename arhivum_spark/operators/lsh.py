@@ -245,3 +245,56 @@ def verify_edges(
         .filter(F.col("est_jaccard") >= cfg.min_signature_agreement)
         .select("src", "dst", "est_jaccard", "phash_hamming")
     )
+
+
+def verify_edges_rehub(
+    edges: DataFrame,
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """verify_edges plus one hub re-election pass over its REJECTS.
+
+    The star construction elects hub = min(id) per bucket, and
+    verification filters (hub, member) edges independently. When the
+    min-id member of a bucket is a FOREIGN one-band collider, both edges
+    to the true members fail signature agreement and the true pair loses
+    that bucket's connectivity entirely — even though both members sit in
+    the bucket. The miss probability grows with n (collider occupancy of
+    near-dup buckets), which is exactly the superlinear split-cluster
+    growth measured at 2.4M/4.8M images (BENCH.md): every split was a
+    {base, reenc} pair orphaned by a smaller-id collider hub.
+
+    Fix, preserving the star/no-window scale shape: edges that FAIL
+    verification are regrouped BY their hub, a retry hub = min(member) is
+    elected among each hub's failed members, and the retry star is
+    verified once more. The retry frame is O(rejects) — rejects are rare
+    (random-pair agreement ~0.06 vs the 0.5 threshold, so only collider
+    edges land here) — and the whole pass is two joins + one partial
+    aggregation, no window, no pair enumeration. A bucket with TWO
+    foreign colliders below every true id can still orphan a pair
+    (probability squared per bucket). Measured at 2.4M images: this pass
+    recovers 2 of the 10 split truth clusters (BENCH.md); the remaining
+    8 share 4-12 bands each yet lose every one to multi-collider
+    buckets — see verify_edges_retry_pairs for the bounded complete fix.
+    """
+    verified = verify_edges(edges, sig_df, cfg, id_col=id_col)
+    failed = edges.join(
+        verified.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    retry_hub = failed.groupBy("src").agg(
+        F.min("dst").alias("_h2"), F.count("*").alias("_fn")
+    )
+    retry = (
+        failed.join(retry_hub.filter(F.col("_fn") >= 2), "src")
+        .filter(F.col("dst") != F.col("_h2"))
+        .select(F.col("_h2").alias("src"), "dst")
+        # two hubs sharing failed members can emit the same retry edge
+        .distinct()
+        # tiny frame (O(rejects)); pin it so the isEmpty probe below and
+        # the retry verification don't re-run the anti-join pipeline
+        .localCheckpoint(eager=True)
+    )
+    if retry.isEmpty():
+        return verified
+    return verified.unionByName(verify_edges(retry, sig_df, cfg, id_col=id_col))

@@ -311,3 +311,69 @@ def test_pinned_reader_batch_contextmanager(spark):
         assert spark.conf.get(key) == "999"
     finally:
         spark.conf.unset(key)
+
+
+def _sig_rows(spark, agreements):
+    """sig_df with controlled pairwise MinHash agreement.
+
+    agreements: {id: minhash list}. phash is irrelevant to signature
+    verification (informational column) — any distinct longs work.
+    """
+    rows = [
+        (k, [int(v) for v in mh], i) for i, (k, mh) in enumerate(agreements.items())
+    ]
+    return spark.createDataFrame(
+        rows, "image_id string, minhash array<int>, phash long"
+    )
+
+
+def test_verify_edges_rehub_recovers_foreign_hub_orphans(spark):
+    """The measured 2.4M/4.8M split-cluster mechanism (BENCH.md round 5):
+    a foreign one-band collider with the bucket's MIN id is elected hub,
+    both (hub, true-member) star edges fail signature verification, and
+    the true pair — present in the bucket! — loses its connectivity.
+    verify_edges_rehub must re-elect a hub among the rejects and recover
+    the pair; plain verify_edges documents the failure."""
+    from arhivum_spark.operators.lsh import verify_edges, verify_edges_rehub
+
+    cfg = DedupConfig()
+    k = cfg.num_perm
+    base = list(range(k))
+    # true pair: 100/128 agreement (>= 0.5); collider: 8/128 with both
+    reenc = base[:100] + [1000 + i for i in range(k - 100)]
+    collider = base[:8] + [2000 + i for i in range(k - 8)]
+    sigs = _sig_rows(
+        spark, {"img-a": collider, "img-b": base, "img-c": reenc}
+    )
+    # star edges of bucket {a, b, c} with hub = min id = the collider
+    edges = spark.createDataFrame(
+        [("img-a", "img-b"), ("img-a", "img-c")], "src string, dst string"
+    )
+
+    plain = verify_edges(edges, sigs, cfg)
+    assert plain.count() == 0  # the failure mode: true pair orphaned
+
+    got = verify_edges_rehub(edges, sigs, cfg)
+    pairs = {(r.src, r.dst) for r in got.collect()}
+    assert pairs == {("img-b", "img-c")}
+
+
+def test_verify_edges_rehub_is_identity_on_clean_buckets(spark):
+    """When the hub itself is a true member (the overwhelmingly common
+    case) the rehub pass must add nothing and keep verify_edges'
+    output — same rows, same columns."""
+    from arhivum_spark.operators.lsh import verify_edges, verify_edges_rehub
+
+    cfg = DedupConfig()
+    k = cfg.num_perm
+    base = list(range(k))
+    near = base[:90] + [3000 + i for i in range(k - 90)]
+    far = [4000 + i for i in range(k)]
+    sigs = _sig_rows(spark, {"img-a": base, "img-b": near, "img-d": far})
+    edges = spark.createDataFrame(
+        [("img-a", "img-b"), ("img-a", "img-d")], "src string, dst string"
+    )
+    plain = sorted(verify_edges(edges, sigs, cfg).collect())
+    rehub = sorted(verify_edges_rehub(edges, sigs, cfg).collect())
+    assert plain == rehub
+    assert [(r.src, r.dst) for r in plain] == [("img-a", "img-b")]
