@@ -76,6 +76,17 @@ class DedupConfig:
     hot_detect_sample: float = 0.01
     salt_buckets: int = 16
     max_pairs_per_band: int = 4096         # hard cap per (band,key) group
+    # star-verification retry (lsh.verify_edges_retry_pairs): failed-edge
+    # groups up to this size enumerate all member pairs (complete
+    # recovery, <= g^2/2 enumerations per bucket); larger groups fall
+    # back to one hub re-election (linear in rejects)
+    retry_allpairs_max: int = 128
+    # retry pairs are pre-filtered by phash hamming INSIDE the self-join
+    # stage (before any shuffle or signature scoring): random colliders
+    # sit at ~32/64 bits, true near-dups at PSNR>=40 measured at 0-2, so
+    # this collapses the quadratic enumeration to ~true-pair volume.
+    # P(random pair <= 16) ~ 3e-5 keeps noise negligible.
+    retry_phash_max_hamming: int = 16
 
     # connected components
     cc_max_iters: int = 50

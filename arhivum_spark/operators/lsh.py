@@ -35,8 +35,17 @@ from arhivum_spark.config import DedupConfig
 def band_keys(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "image_id") -> DataFrame:
     """Explode each signature into (image_id, band, key) — JVM-side only.
 
-    key = hash of the band's signature slice (plus band index so identical
-    slices in different bands don't collide).
+    key = xxhash64 of the band's signature slice (plus band index so
+    identical slices in different bands don't collide). The key MUST be
+    64-bit: with 32-bit Murmur3 keys, rows x bands distinct slices
+    birthday-collide at an n^2 rate — ~690k falsely-merged buckets at
+    2.4M images (76.8M band values), and ~7,400 garbage occupants in
+    EVERY bucket at the 10^12-row north-rule scale (3.2e13 values into
+    2^32), which would drown the star construction. At 2^64 the 2.4M
+    load expects ~1e-4 colliding keys. (Measured at 2.4M, hash
+    collisions were NOT the split-cluster source — that is same-slice
+    concentration; see verify_edges_retry_pairs — but 64-bit keys are a
+    survival requirement at the target scale.)
 
     The id column that rides through the explode and both downstream
     shuffles should be a LONG, not a string: at rows x bands scale every
@@ -45,7 +54,7 @@ def band_keys(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "image_id") -> 
     r = cfg.rows_per_band
     bands_arr = F.transform(
         F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
-        lambda b: F.hash(F.slice(F.col("minhash"), b * r + 1, r), b),
+        lambda b: F.xxhash64(F.slice(F.col("minhash"), b * r + 1, r), b),
     )
     return sig_df.select(
         F.col(id_col).alias("image_id"),
@@ -201,18 +210,20 @@ def salted_candidate_edges(
     return edges.unionByName(hub_chain).distinct()
 
 
-def verify_edges(
+def score_edges(
     edges: DataFrame,
     sig_df: DataFrame,
     cfg: DedupConfig,
     id_col: str = "image_id",
+    _keep_member_phash: bool = False,
 ) -> DataFrame:
-    """Keep candidate edges whose full-signature agreement >= threshold.
+    """Attach est_jaccard + phash_hamming to every candidate edge.
 
     Agreement = fraction of equal MinHash positions (unbiased Jaccard
     estimate, the true-Jaccard generalization of the reference's
     calculateSimilarity proxy). Computed with zip_with/aggregate — stays in
-    the JVM, no Python. Adds est_jaccard and phash_hamming columns.
+    the JVM, no Python. No filtering: callers split pass/fail themselves
+    (verify_edges_retry_pairs needs BOTH sides from one scoring pass).
     """
     sigs = sig_df.select(
         F.col(id_col).alias("_vid"),
@@ -234,6 +245,9 @@ def verify_edges(
         F.lit(0),
         lambda acc, v: acc + v,
     )
+    out_cols = ["src", "dst", "est_jaccard", "phash_hamming"]
+    if _keep_member_phash:
+        out_cols.append("ph_b")
     return (
         edges.join(a, "src")
         .join(b, "dst")
@@ -242,8 +256,19 @@ def verify_edges(
             "phash_hamming",
             F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))),
         )
-        .filter(F.col("est_jaccard") >= cfg.min_signature_agreement)
-        .select("src", "dst", "est_jaccard", "phash_hamming")
+        .select(*out_cols)
+    )
+
+
+def verify_edges(
+    edges: DataFrame,
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Keep candidate edges whose full-signature agreement >= threshold."""
+    return score_edges(edges, sig_df, cfg, id_col=id_col).filter(
+        F.col("est_jaccard") >= cfg.min_signature_agreement
     )
 
 
@@ -293,6 +318,110 @@ def verify_edges_rehub(
         .distinct()
         # tiny frame (O(rejects)); pin it so the isEmpty probe below and
         # the retry verification don't re-run the anti-join pipeline
+        .localCheckpoint(eager=True)
+    )
+    if retry.isEmpty():
+        return verified
+    return verified.unionByName(verify_edges(retry, sig_df, cfg, id_col=id_col))
+
+
+def verify_edges_retry_pairs(
+    edges: DataFrame,
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Star verification with a COMPLETE bounded retry over its rejects.
+
+    verify_edges_rehub's single hub re-election still orphans a true pair
+    when two or more foreign colliders sit below it in the bucket's id
+    order. This is not rare at scale: minhash values CONCENTRATE (random
+    images share ~6% of signature positions through common shingles), so
+    popular 4-value slices recur across dozens of images — the occupancy
+    probe at 2.4M found the 8 rehub-surviving split pairs sitting in
+    buckets of 3-69 same-slice, mutually-dissimilar members in EVERY one
+    of their 4-12 shared bands, with the best true member ranked as low
+    as 40th by id. Hub election loses all of them; probability of that
+    grows with occupancy, i.e. with n — the measured superlinear split
+    growth (0 -> 10 -> 137 at 600k/2.4M/4.8M). This variant terminates
+    in exactly TWO verification passes and recovers every true pair that
+    reached a bucket together:
+
+    - Failed (hub, member) edges are grouped by hub. Groups of
+      2..retry_allpairs_max members enumerate ALL member pairs
+      (g(g-1)/2 <= ~8k at the default bound of 128, covering every
+      occupancy observed at 4.8M), pre-filtered by phash hamming
+      (<= retry_phash_max_hamming) INSIDE the self-join stage — any true
+      pair among the rejects is verified DIRECTLY, no election luck.
+    - Larger groups fall back to one min-id re-election, keeping the
+      pass linear. Such groups are hot-key shrapnel the salting/cap
+      valves already bound; documented residual: a true pair inside one
+      with two colliders below it and no other shared band.
+
+    Cost model: most multi-member buckets are pure collider groups whose
+    star edges ALL fail (600k measured: 3.36M of 3.46M star edges
+    reject), so the naive retry enumerates sum C(g,2) pairs — 27.98M at
+    600k, 8x the candidate count and growing with occupancy. The phash
+    gate collapses that inside the join stage (random colliders sit at
+    ~32/64 bits vs 0-2 for true near-dups; P(pass) ~ 3e-5) so only
+    ~true-pair volume (85k at 600k) reaches scoring or any exchange.
+    Edges are scored ONCE and pinned; pass/fail split by filter (an
+    anti-join formulation re-derives the big scoring join through every
+    branch of the lineage). The pass adds three shuffles over the reject
+    frame and one extra scan of sig_df for the retry scoring
+    (broadcast-joined against the small retry side by AQE).
+
+    Residual recall gap, both documented and phash-bounded: a true pair
+    whose phash hamming exceeds retry_phash_max_hamming is recoverable
+    only by winning a hub election somewhere (PSNR >= 40 dB re-encodes
+    measure 0-2 bits apart — 16 is ~8 sigma of slack).
+    """
+    scored = score_edges(
+        edges, sig_df, cfg, id_col=id_col, _keep_member_phash=True
+    ).localCheckpoint(eager=True)
+    passing = F.col("est_jaccard") >= cfg.min_signature_agreement
+    verified = scored.filter(passing).select(
+        "src", "dst", "est_jaccard", "phash_hamming"
+    )
+    failed = scored.filter(~passing).select("src", "dst", "ph_b")
+    sized = failed.join(
+        failed.groupBy("src").agg(F.count("*").alias("_fn")), "src"
+    )
+    small = sized.filter(
+        (F.col("_fn") >= 2) & (F.col("_fn") <= cfg.retry_allpairs_max)
+    )
+    # the phash-hamming filter runs INSIDE the self-join stage, so the
+    # quadratic C(g,2) enumeration never crosses a shuffle boundary —
+    # measured at 600k it collapses 27.98M enumerated pairs to ~85k
+    member_pairs = (
+        small.select("src", F.col("dst").alias("m1"), F.col("ph_b").alias("p1"))
+        .join(
+            small.select(
+                "src", F.col("dst").alias("m2"), F.col("ph_b").alias("p2")
+            ),
+            "src",
+        )
+        .filter(F.col("m1") < F.col("m2"))
+        .filter(
+            F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
+            <= cfg.retry_phash_max_hamming
+        )
+        .select(F.col("m1").alias("src"), F.col("m2").alias("dst"))
+    )
+    big = sized.filter(F.col("_fn") > cfg.retry_allpairs_max)
+    big_hub = big.groupBy("src").agg(F.min("dst").alias("_h2"))
+    big_star = (
+        big.join(big_hub, "src")
+        .filter(F.col("dst") != F.col("_h2"))
+        .select(F.col("_h2").alias("src"), "dst")
+    )
+    retry = (
+        member_pairs.unionByName(big_star)
+        .distinct()
+        # an edge verified via another bucket must not be re-emitted
+        .join(verified.select("src", "dst"), ["src", "dst"], "left_anti")
+        # tiny frame (O(rejects)); pin it so the isEmpty probe and the
+        # retry verification don't re-run the anti-join pipeline
         .localCheckpoint(eager=True)
     )
     if retry.isEmpty():

@@ -35,7 +35,7 @@ from arhivum_spark.operators import dedup_exact
 from arhivum_spark.operators.connected_components import connected_components
 from arhivum_spark.operators.lsh import (
     candidate_edges_compact,
-    verify_edges_rehub,
+    verify_edges_retry_pairs,
 )
 from arhivum_spark.sources.checkpoints import StageStore
 
@@ -242,7 +242,7 @@ def _run_pipeline_stages(
         reps = exact.filter(~F.col("is_duplicate")).select("image_id")
         rep_sigs = sigs.join(reps, "image_id", "left_semi")
         cand = candidate_edges_compact(rep_sigs, cfg)
-        return verify_edges_rehub(cand, rep_sigs, cfg)
+        return verify_edges_retry_pairs(cand, rep_sigs, cfg)
     near_edges = store.read_or_compute("s3_candidates", candidate_stage)
 
     if cfg.psnr_verify_enabled:

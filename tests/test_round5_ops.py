@@ -377,3 +377,133 @@ def test_verify_edges_rehub_is_identity_on_clean_buckets(spark):
     rehub = sorted(verify_edges_rehub(edges, sigs, cfg).collect())
     assert plain == rehub
     assert [(r.src, r.dst) for r in plain] == [("img-a", "img-b")]
+
+
+def test_verify_edges_retry_pairs_recovers_multi_collider_bucket(spark):
+    """Two foreign colliders below the true pair in id order: the first
+    election picks collider-1, the rehub re-election picks collider-2,
+    and the pair stays orphaned (the measured residual at 2.4M — 8 of 10
+    splits survived rehub). retry_pairs enumerates all pairs among the
+    failed members, so the true pair is verified DIRECTLY."""
+    from arhivum_spark.operators.lsh import (
+        verify_edges_rehub,
+        verify_edges_retry_pairs,
+    )
+
+    cfg = DedupConfig()
+    k = cfg.num_perm
+    base = list(range(k))
+    reenc = base[:100] + [1000 + i for i in range(k - 100)]
+    coll1 = [2000 + i for i in range(k)]
+    coll2 = [3000 + i for i in range(k)]
+    sigs = _sig_rows(
+        spark,
+        {"img-a1": coll1, "img-a2": coll2, "img-b": base, "img-c": reenc},
+    )
+    # star of bucket {a1, a2, b, c}, hub = min id = collider a1
+    edges = spark.createDataFrame(
+        [("img-a1", "img-a2"), ("img-a1", "img-b"), ("img-a1", "img-c")],
+        "src string, dst string",
+    )
+
+    rehub = verify_edges_rehub(edges, sigs, cfg)
+    assert rehub.count() == 0  # re-elected hub a2 is ALSO foreign
+
+    got = verify_edges_retry_pairs(edges, sigs, cfg)
+    assert {(r.src, r.dst) for r in got.collect()} == {("img-b", "img-c")}
+
+
+def test_verify_edges_retry_pairs_identity_on_clean_and_no_dup_edges(spark):
+    """Clean buckets: identical output to verify_edges. And an edge that
+    verifies in one bucket must not be duplicated by another bucket's
+    retry (the anti-join guard)."""
+    from arhivum_spark.operators.lsh import verify_edges, verify_edges_retry_pairs
+
+    cfg = DedupConfig()
+    k = cfg.num_perm
+    base = list(range(k))
+    near = base[:90] + [3000 + i for i in range(k - 90)]
+    far = [4000 + i for i in range(k)]
+    sigs = _sig_rows(spark, {"img-a": base, "img-b": near, "img-d": far})
+    edges = spark.createDataFrame(
+        [("img-a", "img-b"), ("img-a", "img-d")], "src string, dst string"
+    )
+    plain = sorted(verify_edges(edges, sigs, cfg).collect())
+    got = sorted(verify_edges_retry_pairs(edges, sigs, cfg).collect())
+    assert plain == got
+    assert [(r.src, r.dst) for r in plain] == [("img-a", "img-b")]
+
+    # second bucket whose star (with foreign hub img-z) fails both edges;
+    # its all-pairs retry re-derives (img-a, img-b) — already verified via
+    # the first bucket, so the union must contain it exactly once
+    foreign = [5000 + i for i in range(k)]
+    sigs2 = _sig_rows(
+        spark, {"img-a": base, "img-b": near, "img-z": foreign}
+    )
+    edges2 = spark.createDataFrame(
+        [("img-a", "img-b"), ("img-z", "img-a"), ("img-z", "img-b")],
+        "src string, dst string",
+    )
+    out = verify_edges_retry_pairs(edges2, sigs2, cfg).collect()
+    assert [(r.src, r.dst) for r in out] == [("img-a", "img-b")]
+
+
+def test_band_keys_are_64bit_and_slice_determined(spark):
+    """Equal 4-value slices in the same band must collide; the key column
+    must be a long (64-bit) — 32-bit keys birthday-collide at n^2 rate
+    across rows x bands (the measured superlinear split-cluster source)."""
+    from arhivum_spark.operators.lsh import band_keys
+
+    cfg = DedupConfig()
+    k = cfg.num_perm
+    sig_a = list(range(k))
+    sig_b = list(range(cfg.rows_per_band)) + [9000 + i for i in range(k - cfg.rows_per_band)]
+    df = spark.createDataFrame(
+        [("a", sig_a), ("b", sig_b)], "image_id string, minhash array<int>"
+    )
+    out = band_keys(df, cfg)
+    assert dict(out.dtypes)["key"] == "bigint"
+    keys = {(r.image_id, r.band): r.key for r in out.collect()}
+    # band 0 slices equal -> same key; band 1 slices differ -> different
+    assert keys[("a", 0)] == keys[("b", 0)]
+    assert keys[("a", 1)] != keys[("b", 1)]
+    # same slice value in different bands must not collide (band seed)
+    df2 = spark.createDataFrame(
+        [("c", list(range(cfg.rows_per_band)) * cfg.bands)],
+        "image_id string, minhash array<int>",
+    )
+    k2 = [r.key for r in band_keys(df2, cfg).collect()]
+    assert len(set(k2)) == len(k2)
+
+
+def test_verify_edges_retry_pairs_phash_gate(spark):
+    """The retry's quadratic enumeration is collapsed by a phash-hamming
+    pre-filter (config.retry_phash_max_hamming): a signature-agreeing
+    pair with DISTANT phashes is not recovered via retry (documented
+    residual — impossible for PSNR>=40 near-dups, which measure 0-2
+    bits), while the same pair with close phashes is."""
+    from arhivum_spark.operators.lsh import verify_edges_retry_pairs
+
+    cfg = DedupConfig()
+    k = cfg.num_perm
+    base = list(range(k))
+    reenc = base[:100] + [1000 + i for i in range(k - 100)]
+    coll = [2000 + i for i in range(k)]
+
+    def run(ph_b, ph_c):
+        sigs = spark.createDataFrame(
+            [("img-a", coll, 7), ("img-b", base, ph_b), ("img-c", reenc, ph_c)],
+            "image_id string, minhash array<int>, phash long",
+        )
+        edges = spark.createDataFrame(
+            [("img-a", "img-b"), ("img-a", "img-c")], "src string, dst string"
+        )
+        return {
+            (r.src, r.dst)
+            for r in verify_edges_retry_pairs(edges, sigs, cfg).collect()
+        }
+
+    # close phashes (hamming 1): recovered
+    assert run(0, 1) == {("img-b", "img-c")}
+    # distant phashes (hamming 64): gated out of the retry
+    assert run(0, -1) == set()
