@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from arhivum_spark.config import DedupConfig
 
@@ -376,9 +377,13 @@ def verify_edges_retry_pairs(
     only by winning a hub election somewhere (PSNR >= 40 dB re-encodes
     measure 0-2 bits apart — 16 is ~8 sigma of slack).
     """
+    # DISK_ONLY: at 2.4M images the scored frame is ~1 GB — parking it
+    # on-heap shaves exactly the headroom the byte-bearing scans need
+    # (GCLocker contiguous-allocation deaths on the 16 GB local heap);
+    # with RAM-backed local dirs "disk" is still memory, just off-heap
     scored = score_edges(
         edges, sig_df, cfg, id_col=id_col, _keep_member_phash=True
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     passing = F.col("est_jaccard") >= cfg.min_signature_agreement
     verified = scored.filter(passing).select(
         "src", "dst", "est_jaccard", "phash_hamming"
