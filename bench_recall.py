@@ -144,10 +144,11 @@ def main() -> None:
     stage_root = os.path.join(WORKDIR, "stages_recall")
     shutil.rmtree(stage_root, ignore_errors=True)
     t0 = time.time()
-    # SPARK_GRAFT_RECALL_CAP: override max_pairs_per_band — the knob the
-    # BENCH.md split-cluster attribution names. Running the same input
-    # with a raised cap is the controlled test of that diagnosis (splits
-    # should go to 0 if the cap is what samples truth edges out).
+    # SPARK_GRAFT_RECALL_CAP: override max_pairs_per_band. Kept for cap
+    # attribution experiments; NOTE the split-cluster mechanism turned
+    # out to be hub election in same-slice collider buckets, not the
+    # caps (occupancy probe + lsh.verify_edges_retry_pairs, BENCH.md
+    # round 5 — splits 0/10/137 -> 0 at the default cap).
     cap_env = os.environ.get("SPARK_GRAFT_RECALL_CAP")
     cfg = (
         DedupConfig(max_pairs_per_band=int(cap_env))
