@@ -76,6 +76,20 @@ def get_spark(
         )
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet 1.16 (bundled with Spark 4.1) enables Hadoop vectored IO
+        # by default, and that path allocates ONE on-heap ByteBuffer per
+        # column chunk (VectorIoBridge -> VectorIOBufferPool) — for a
+        # media `bytes` column that is the WHOLE ~130 MB row-group chunk
+        # per task thread, bypassing parquet's classic 8 MB
+        # maxAllocationSize splitting. 32 threads x 130 MB humongous G1
+        # allocations + GCLocker (snappy JNI critical sections) killed a
+        # 4.8M-image scan on the 16 GB heap (BENCH.md round 5, cliff #4).
+        # The classic read path streams the same chunks through <= 8 MB
+        # buffers; vectored IO's coalesced-range wins target high-latency
+        # object stores, not local/HDFS media scans, so it stays off by
+        # default (flip per-session via extra_conf for S3-like storage
+        # with small row groups).
+        .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -507,3 +507,17 @@ def test_verify_edges_retry_pairs_phash_gate(spark):
     assert run(0, 1) == {("img-b", "img-c")}
     # distant phashes (hamming 64): gated out of the retry
     assert run(0, -1) == set()
+
+
+def test_session_disables_parquet_vectored_io(spark):
+    """Round-5 regression (scale cliff #4, BENCH.md): parquet 1.16's
+    Hadoop vectored IO allocates one on-heap ByteBuffer per COLUMN CHUNK
+    (~130 MB for a media bytes column's row group) per task thread,
+    bypassing the classic path's 8 MB maxAllocationSize splitting — 32
+    threads of humongous G1 allocations + GCLocker OOMed a 4.8M-image
+    scan on the 16 GB heap. Engine sessions must pin it off so chunk
+    reads stay 8 MB-bounded regardless of input row-group size."""
+    assert (
+        spark.conf.get("spark.hadoop.parquet.hadoop.vectored.io.enabled")
+        == "false"
+    )
