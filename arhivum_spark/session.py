@@ -90,6 +90,29 @@ def get_spark(
         # default (flip per-session via extra_conf for S3-like storage
         # with small row groups).
         .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
+        # Java 17 G1 GCLocker starvation (fixed by region pinning only in
+        # Java 22 / JEP 423): when task threads sit in JNI critical
+        # sections near-continuously (32 snappy decompressors during a
+        # byte-bearing scan), an allocating thread retries
+        # GCLockerRetryAllocationCount times (default 2!) waiting for a
+        # GCLocker-induced GC and then throws OutOfMemoryError WITHOUT a
+        # full-GC attempt — the heap isn't exhausted, the collector was
+        # starved. Observed killing the 4.8M s3b re-scan on 8 MB (and
+        # even 6 MB decoded-batch) allocations after the vectored-IO fix
+        # removed the 130 MB ones. Raising the retry bound is the
+        # documented JDK workaround.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions"
+            " -XX:GCLockerRetryAllocationCount=64",
+        )
+        # local mode runs executors inside the driver JVM; the executor
+        # variant is inert here but is the one that matters on a cluster
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions"
+            " -XX:GCLockerRetryAllocationCount=64",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -521,3 +521,15 @@ def test_session_disables_parquet_vectored_io(spark):
         spark.conf.get("spark.hadoop.parquet.hadoop.vectored.io.enabled")
         == "false"
     )
+
+
+def test_session_raises_gclocker_retry_bound(spark):
+    """Round-5 regression (BENCH.md cliff #4, second mechanism): Java 17
+    G1 throws OutOfMemoryError after GCLockerRetryAllocationCount
+    (default 2) retries when JNI critical sections (32 concurrent snappy
+    decompressors) starve the collector — without attempting a full GC.
+    Engine sessions raise the bound on driver AND executor JVMs."""
+    for side in ("driver", "executor"):
+        opts = spark.conf.get(f"spark.{side}.extraJavaOptions")
+        assert "-XX:GCLockerRetryAllocationCount=64" in opts
+        assert "-XX:+UnlockDiagnosticVMOptions" in opts
