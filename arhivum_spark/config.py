@@ -52,6 +52,18 @@ class DedupConfig:
     # broadcast limit, so the stage falls back to a shuffle hash join keyed
     # on id (2 rows/edge either way — only the join strategy changes)
     psnr_broadcast_max_edges: int = 2_000_000
+    # bound on the PSNR stage's in-flight byte shuffle: the stage moves
+    # ~2 encoded payloads per edge, so an unbounded edge set makes the
+    # shuffle high-water proportional to the surviving-edge count
+    # (measured: ~58 GB at 4.8M images with the retry pass — past the
+    # box's storage and OOM-killed; BENCH.md cliff #5). Edge sets larger
+    # than this are verified in ceil(n/bound) batches: each batch's
+    # side map is broadcast-small, its payload shuffle is released
+    # before the next batch starts, and the trade is one extra images
+    # scan per extra batch (scans are cheap relative to shuffle
+    # high-water; at cluster scale this caps per-executor shuffle-disk
+    # the same way). None disables batching.
+    psnr_max_inflight_edges: int | None = 600_000
 
     # parquet vectorized-reader batch rows for the binary-heavy images
     # scan. The reader reserves a contiguous column buffer of

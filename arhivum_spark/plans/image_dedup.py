@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from arhivum_spark.config import DedupConfig
 from arhivum_spark.functions.signatures import attach_signatures
@@ -69,7 +70,70 @@ def psnr_verify_edges(
     This is the only stage after s1 that touches pixels. Pairs whose
     decoded shapes differ are dropped (not a duplicate), identical pixels
     give PSNR = inf. Adds `psnr_db`.
+
+    In-flight shuffle bound (cliff #5, BENCH.md): the payload shuffle is
+    ~2 encoded images per edge, so its high-water mark grows with the
+    surviving-edge count — measured ~58 GB at 4.8M images, past a single
+    box's storage (kernel OOM). Edge sets above
+    cfg.psnr_max_inflight_edges are verified in ceil(n/bound) hash-split
+    batches: each batch's side map is broadcast-small, each batch's
+    scored result is pinned (DISK_ONLY) and its payload-shuffle files
+    released (lineage truncated + JVM GC -> ContextCleaner) before the
+    next batch shuffles. The trade is one extra images scan per extra
+    batch; identical output to the single-shot path (test-gated).
     """
+    pairs = edges.select("src", "dst")
+    n_edges = pairs.count()
+    bound = cfg.psnr_max_inflight_edges
+    if bound is not None and n_edges > bound:
+        n_batches = -(-n_edges // bound)
+        split = pairs.withColumn(
+            "_pb", F.pmod(F.xxhash64("src", "dst"), F.lit(n_batches))
+        ).localCheckpoint(eager=True)
+        parts = []
+        for b in range(n_batches):
+            part = _psnr_scored(
+                split.filter(F.col("_pb") == b).drop("_pb"),
+                images,
+                cfg,
+                id_col,
+                bytes_col,
+                use_broadcast=bound <= cfg.psnr_broadcast_max_edges,
+            ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+            parts.append(part)
+            # the finished batch's payload shuffle is unreachable now
+            # (the checkpoint truncated its lineage); one JVM GC lets
+            # ContextCleaner delete its files before the next batch
+            # shuffles — this is what bounds the high-water mark
+            edges.sparkSession._jvm.System.gc()
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
+        return edges.join(scored, ["src", "dst"])
+    return edges.join(
+        _psnr_scored(
+            pairs,
+            images,
+            cfg,
+            id_col,
+            bytes_col,
+            use_broadcast=n_edges <= cfg.psnr_broadcast_max_edges,
+        ),
+        ["src", "dst"],
+    )
+
+
+def _psnr_scored(
+    pairs: DataFrame,
+    images: DataFrame,
+    cfg: DedupConfig,
+    id_col: str,
+    bytes_col: str,
+    use_broadcast: bool,
+) -> DataFrame:
+    """One PSNR verification pass over an edge subset: returns
+    (src, dst, psnr_db) for the pairs clearing cfg.psnr_edge_min_db.
+    See psnr_verify_edges for the plan shape."""
     from collections.abc import Iterator
 
     from arhivum_spark import codec
@@ -77,7 +141,6 @@ def psnr_verify_edges(
 
     thresh = float(cfg.psnr_edge_min_db)
 
-    pairs = edges.select("src", "dst")
     side_map = (
         pairs.select(
             F.col("src").alias(id_col), "src", "dst", F.lit(0).alias("_side")
@@ -89,15 +152,15 @@ def psnr_verify_edges(
             )
         )
     )
-    # Side-map join strategy: broadcast while the surviving edge set is
-    # small (the common case — signature verification already filtered);
-    # past the configured bound the map outgrows broadcast, so switch to a
-    # shuffle hash join keyed on id. Identical output either way.
+    # Side-map join strategy: broadcast while the edge subset is small
+    # (the common case — signature verification already filtered, and the
+    # inflight-edge batching keeps subsets below the bound); past it the
+    # map outgrows broadcast, so switch to a shuffle hash join keyed on
+    # id. Identical output either way.
     # (NEVER dedup/shuffle the images frame itself here — that moves every
     # byte payload; duplicate image_ids are instead handled side-aware in
     # the pair walk below.)
-    n_edges = pairs.count()
-    if n_edges <= cfg.psnr_broadcast_max_edges:
+    if use_broadcast:
         joined = images.select(id_col, bytes_col).join(
             F.broadcast(side_map), id_col
         )
@@ -155,9 +218,9 @@ def psnr_verify_edges(
                 {"src": out_src, "dst": out_dst, "psnr_db": out_psnr}
             )
 
-    src_t = dict(edges.dtypes)["src"]
-    dst_t = dict(edges.dtypes)["dst"]
-    scored = (
+    src_t = dict(pairs.dtypes)["src"]
+    dst_t = dict(pairs.dtypes)["dst"]
+    return (
         payload.repartition("src", "dst")
         .sortWithinPartitions("src", "dst", "_side")
         .mapInPandas(
@@ -166,7 +229,6 @@ def psnr_verify_edges(
         )
         .filter(F.col("psnr_db") >= thresh)
     )
-    return edges.join(scored, ["src", "dst"])
 
 
 @contextmanager

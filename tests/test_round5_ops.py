@@ -533,3 +533,33 @@ def test_session_raises_gclocker_retry_bound(spark):
         opts = spark.conf.get(f"spark.{side}.extraJavaOptions")
         assert "-XX:GCLockerRetryAllocationCount=64" in opts
         assert "-XX:+UnlockDiagnosticVMOptions" in opts
+
+
+def test_psnr_inflight_batching_matches_single_shot(spark):
+    """Round-5 cliff #5 regression: the PSNR stage's in-flight shuffle
+    bound (cfg.psnr_max_inflight_edges) splits the edge set into
+    hash-batches verified sequentially — output must be identical to the
+    unbatched path (same edges, same psnr_db), across batch counts, and
+    compose with the shuffle-join side-map fallback."""
+    from tests.test_round3_ops import _mini_images_and_edges
+    from arhivum_spark.config import DedupConfig
+    from arhivum_spark.plans.image_dedup import psnr_verify_edges
+
+    images, edges = _mini_images_and_edges(spark)
+
+    def run(cfg):
+        return {
+            (r.src, r.dst, round(r.psnr_db, 6))
+            for r in psnr_verify_edges(edges, images, cfg).collect()
+        }
+
+    base = run(DedupConfig(psnr_max_inflight_edges=None))
+    assert len(base) == 8
+    # 9 edges -> 2, 3, 5 batches; plus batching with the non-broadcast map
+    for cfg in (
+        DedupConfig(psnr_max_inflight_edges=5),
+        DedupConfig(psnr_max_inflight_edges=3),
+        DedupConfig(psnr_max_inflight_edges=2),
+        DedupConfig(psnr_max_inflight_edges=4, psnr_broadcast_max_edges=0),
+    ):
+        assert run(cfg) == base
