@@ -92,6 +92,12 @@ class DedupConfig:
     # groups up to this size enumerate all member pairs (complete
     # recovery, <= g^2/2 enumerations per bucket); larger groups fall
     # back to one hub re-election (linear in rejects)
+    # verify_retry_enabled=False drops to plain verify_edges (single
+    # pass, no reject retry): cheaper by a near-constant per-job cost,
+    # at the measured price of hub-election split clusters (recall
+    # 0.9999x instead of exactly 1.0 — 10 splits at 2.4M, 137 at 4.8M;
+    # BENCH.md "splits diagnosed" section)
+    verify_retry_enabled: bool = True
     retry_allpairs_max: int = 128
     # retry pairs are pre-filtered by phash hamming INSIDE the self-join
     # stage (before any shuffle or signature scoring): random colliders

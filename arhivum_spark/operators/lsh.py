@@ -317,6 +317,9 @@ def verify_edges_rehub(
         .select(F.col("_h2").alias("src"), "dst")
         # two hubs sharing failed members can emit the same retry edge
         .distinct()
+        # an edge verified via another bucket must not be re-emitted —
+        # without this, the returned frame can hold (src, dst) twice
+        .join(verified.select("src", "dst"), ["src", "dst"], "left_anti")
         # tiny frame (O(rejects)); pin it so the isEmpty probe below and
         # the retry verification don't re-run the anti-join pipeline
         .localCheckpoint(eager=True)

@@ -36,6 +36,7 @@ from arhivum_spark.operators import dedup_exact
 from arhivum_spark.operators.connected_components import connected_components
 from arhivum_spark.operators.lsh import (
     candidate_edges_compact,
+    verify_edges,
     verify_edges_retry_pairs,
 )
 from arhivum_spark.sources.checkpoints import StageStore
@@ -85,8 +86,17 @@ def psnr_verify_edges(
     pairs = edges.select("src", "dst")
     n_edges = pairs.count()
     bound = cfg.psnr_max_inflight_edges
+    if bound is not None and bound <= 0:
+        raise ValueError(
+            "psnr_max_inflight_edges must be >= 1 (or None to disable "
+            f"batching), got {bound}"
+        )
     if bound is not None and n_edges > bound:
         n_batches = -(-n_edges // bound)
+        # broadcast-vs-shuffle is a per-BATCH decision: each batch holds
+        # ~ceil(n_edges/n_batches) edges, which may fit the broadcast
+        # bound even when the configured in-flight bound does not
+        batch_edges = -(-n_edges // n_batches)
         split = pairs.withColumn(
             "_pb", F.pmod(F.xxhash64("src", "dst"), F.lit(n_batches))
         ).localCheckpoint(eager=True)
@@ -98,7 +108,7 @@ def psnr_verify_edges(
                 cfg,
                 id_col,
                 bytes_col,
-                use_broadcast=bound <= cfg.psnr_broadcast_max_edges,
+                use_broadcast=batch_edges <= cfg.psnr_broadcast_max_edges,
             ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             parts.append(part)
             # the finished batch's payload shuffle is unreachable now
@@ -304,7 +314,9 @@ def _run_pipeline_stages(
         reps = exact.filter(~F.col("is_duplicate")).select("image_id")
         rep_sigs = sigs.join(reps, "image_id", "left_semi")
         cand = candidate_edges_compact(rep_sigs, cfg)
-        return verify_edges_retry_pairs(cand, rep_sigs, cfg)
+        if cfg.verify_retry_enabled:
+            return verify_edges_retry_pairs(cand, rep_sigs, cfg)
+        return verify_edges(cand, rep_sigs, cfg)
     near_edges = store.read_or_compute("s3_candidates", candidate_stage)
 
     if cfg.psnr_verify_enabled:

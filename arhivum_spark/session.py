@@ -19,6 +19,27 @@ from pyspark.sql import SparkSession
 # our analogue is bounded Arrow batch size).
 ARROW_BATCH_FOR_BINARY = 256
 
+# Java 17 G1 GCLocker starvation workaround (BENCH.md cliff #4) — these
+# flags must survive a caller supplying its own extraJavaOptions via
+# extra_conf, because builder.config() REPLACES string confs wholesale.
+_REQUIRED_JAVA_OPTS = (
+    "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+)
+_JAVA_OPT_KEYS = (
+    "spark.driver.extraJavaOptions",
+    "spark.executor.extraJavaOptions",
+)
+
+
+def _with_required_java_opts(caller_opts: str) -> str:
+    """Prepend the load-bearing JVM flags to caller-supplied ones.
+
+    Caller flags come LAST so a deliberate -XX override still wins (the
+    JVM honors the last occurrence of a flag)."""
+    if _REQUIRED_JAVA_OPTS in caller_opts:
+        return caller_opts
+    return f"{_REQUIRED_JAVA_OPTS} {caller_opts}".strip()
+
 
 def get_spark(
     app_name: str = "arhivum_spark",
@@ -101,20 +122,18 @@ def get_spark(
         # even 6 MB decoded-batch) allocations after the vectored-IO fix
         # removed the 130 MB ones. Raising the retry bound is the
         # documented JDK workaround.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UnlockDiagnosticVMOptions"
-            " -XX:GCLockerRetryAllocationCount=64",
-        )
+        .config("spark.driver.extraJavaOptions", _REQUIRED_JAVA_OPTS)
         # local mode runs executors inside the driver JVM; the executor
         # variant is inert here but is the one that matters on a cluster
-        .config(
-            "spark.executor.extraJavaOptions",
-            "-XX:+UnlockDiagnosticVMOptions"
-            " -XX:GCLockerRetryAllocationCount=64",
-        )
+        .config("spark.executor.extraJavaOptions", _REQUIRED_JAVA_OPTS)
     )
+    # extraJavaOptions carry the load-bearing GCLocker workaround above;
+    # a caller adding its own JVM flags must not silently drop it, so
+    # these keys MERGE (caller flags appended — later -XX wins on
+    # conflict, i.e. the caller can still override deliberately)
     for k, v in (extra_conf or {}).items():
+        if k in _JAVA_OPT_KEYS:
+            v = _with_required_java_opts(v)
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -148,7 +148,9 @@ class StageStore:
             return None
         return self.spark.read.parquet(path)
 
-    def prune(self, keep_last_metrics: int = 1) -> dict:
+    def prune(
+        self, keep_last_metrics: int = 1, min_age_seconds: float = 3600.0
+    ) -> dict:
         """Manifest-led GC (retention story — at production scale the
         stage store IS the Iceberg table and this is `expire_snapshots`):
 
@@ -164,18 +166,47 @@ class StageStore:
           accumulate them unboundedly. Keep the newest
           ``keep_last_metrics`` per stage.
 
+        An uncommitted root is only "abandoned" once its tree has been
+        QUIET for ``min_age_seconds`` (newest directory mtime — a live
+        Spark write refreshes mtimes continuously as task files land in
+        ``data/_temporary``): pruning a store that another pipeline is
+        actively writing into must not rmtree the stage mid-job, nor
+        race the window inside ``write()`` between the parquet
+        ``_SUCCESS`` commit and the manifest swap. Pass
+        ``min_age_seconds=0`` only when the store is known quiescent.
+
         Returns {"stages": [removed stage roots], "metrics": [removed
         metric files]} for operator logging.
         """
         import shutil
+        import time
+
+        def _newest_mtime(path: str) -> float:
+            # directory mtimes refresh when entries are created/renamed
+            # inside them, so statting dirs alone tracks an active write
+            # without touching every data file
+            newest = os.stat(path).st_mtime
+            for dirpath, dirnames, _ in os.walk(path):
+                for d in dirnames:
+                    try:
+                        newest = max(
+                            newest,
+                            os.stat(os.path.join(dirpath, d)).st_mtime,
+                        )
+                    except OSError:
+                        pass
+            return newest
 
         removed: dict = {"stages": [], "metrics": []}
+        now = time.time()
         m = self._manifest()
         for entry in sorted(os.listdir(self.root)):
             p = os.path.join(self.root, entry)
             if entry == "_metrics" or not os.path.isdir(p):
                 continue
             if not self.is_committed(entry):
+                if now - _newest_mtime(p) < min_age_seconds:
+                    continue  # possibly a live write — leave it alone
                 shutil.rmtree(p, ignore_errors=True)
                 m["stages"].pop(entry, None)
                 removed["stages"].append(entry)

@@ -234,7 +234,14 @@ def test_stage_store_prune_keeps_resume(spark, tmp_path):
     # orphan root with NO manifest entry
     os.makedirs(os.path.join(root, "s4", "data"))
 
-    removed = store.prune(keep_last_metrics=1)
+    # default grace window: freshly-touched uncommitted roots are a
+    # possibly-live write and must NOT be reaped
+    untouched = store.prune(keep_last_metrics=2)  # keep both metric gens
+    assert untouched["stages"] == [] and untouched["metrics"] == []
+    assert os.path.isdir(os.path.join(root, "s3"))
+    assert os.path.isdir(os.path.join(root, "s4"))
+
+    removed = store.prune(keep_last_metrics=1, min_age_seconds=0)
     assert set(removed["stages"]) == {"s3", "s4"}
     assert len(removed["metrics"]) == 1  # the older s1 generation
     assert not os.path.exists(os.path.join(root, "s3"))
@@ -563,3 +570,47 @@ def test_psnr_inflight_batching_matches_single_shot(spark):
         DedupConfig(psnr_max_inflight_edges=4, psnr_broadcast_max_edges=0),
     ):
         assert run(cfg) == base
+
+    # 0 is not a valid bound (None is the documented "disable batching"
+    # spelling) — must fail fast, not ZeroDivisionError mid-pipeline
+    with pytest.raises(ValueError, match="psnr_max_inflight_edges"):
+        psnr_verify_edges(edges, images, DedupConfig(psnr_max_inflight_edges=0))
+
+
+def test_verify_edges_rehub_no_duplicate_edges(spark):
+    """An edge verified via one bucket must not be re-emitted by another
+    bucket's retry pass: bucket {b, c} verifies (b, c) directly, while
+    collider bucket {a, b, c} rejects both star edges and re-elects
+    hub b — its retry edge (b, c) must be suppressed, not duplicated."""
+    from arhivum_spark.operators.lsh import verify_edges_rehub
+
+    cfg = DedupConfig()
+    k = cfg.num_perm
+    base = list(range(k))
+    reenc = base[:100] + [1000 + i for i in range(k - 100)]
+    collider = base[:8] + [2000 + i for i in range(k - 8)]
+    sigs = _sig_rows(
+        spark, {"img-a": collider, "img-b": base, "img-c": reenc}
+    )
+    edges = spark.createDataFrame(
+        [("img-b", "img-c"), ("img-a", "img-b"), ("img-a", "img-c")],
+        "src string, dst string",
+    )
+    rows = verify_edges_rehub(edges, sigs, cfg).collect()
+    assert [(r.src, r.dst) for r in rows] == [("img-b", "img-c")]
+
+
+def test_required_java_opts_survive_caller_extra_conf():
+    """extra_conf supplying its own extraJavaOptions must not silently
+    drop the GCLocker workaround (BENCH.md cliff #4) — the flags merge,
+    caller's last so a deliberate -XX override still wins."""
+    from arhivum_spark.session import (
+        _REQUIRED_JAVA_OPTS,
+        _with_required_java_opts,
+    )
+
+    merged = _with_required_java_opts("-Xss8m")
+    assert merged.startswith(_REQUIRED_JAVA_OPTS)
+    assert merged.endswith("-Xss8m")
+    # idempotent when the caller already carries the required flags
+    assert _with_required_java_opts(merged) == merged
