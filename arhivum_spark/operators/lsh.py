@@ -318,8 +318,20 @@ def verify_edges_rehub(
         # two hubs sharing failed members can emit the same retry edge
         .distinct()
         # an edge verified via another bucket must not be re-emitted —
-        # without this, the returned frame can hold (src, dst) twice
-        .join(verified.select("src", "dst"), ["src", "dst"], "left_anti")
+        # without this, the returned frame can hold the same unordered
+        # pair twice. Orientations differ across sources: pipeline star
+        # edges are hub->member in xxhash64-surrogate order
+        # (candidate_edges_compact), while retry edges are min-string-id
+        # -> member by construction — so the guard must compare in a
+        # canonical orientation, not raw (src, dst).
+        .join(
+            verified.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            ),
+            ["src", "dst"],
+            "left_anti",
+        )
         # tiny frame (O(rejects)); pin it so the isEmpty probe below and
         # the retry verification don't re-run the anti-join pipeline
         .localCheckpoint(eager=True)
@@ -426,8 +438,20 @@ def verify_edges_retry_pairs(
     retry = (
         member_pairs.unionByName(big_star)
         .distinct()
-        # an edge verified via another bucket must not be re-emitted
-        .join(verified.select("src", "dst"), ["src", "dst"], "left_anti")
+        # an edge verified via another bucket must not be re-emitted.
+        # Retry edges are min-string-id ordered by construction
+        # (member_pairs: m1 < m2; big_star: hub = min(dst)), but the
+        # verified star edges arrive hub->member in xxhash64-surrogate
+        # order (candidate_edges_compact) — compare canonically or the
+        # same unordered pair slips through reversed and is emitted twice.
+        .join(
+            verified.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            ),
+            ["src", "dst"],
+            "left_anti",
+        )
         # tiny frame (O(rejects)); pin it so the isEmpty probe and the
         # retry verification don't re-run the anti-join pipeline
         .localCheckpoint(eager=True)

@@ -193,10 +193,10 @@ def q_a3_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_A3 = """
+SQL_A3 = f"""
 WITH gi AS (
   SELECT DISTINCT source AS g, tok.item AS item
-  FROM documents, unnest(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'))
+  FROM documents, unnest(regexp_split_to_array(text, '{_TOKS_RE}'))
        AS tok(item)
   WHERE tok.item <> ''
 ), sizes AS (SELECT g, count(*) AS sz FROM gi GROUP BY g),

@@ -172,8 +172,13 @@ class StageStore:
         ``data/_temporary``): pruning a store that another pipeline is
         actively writing into must not rmtree the stage mid-job, nor
         race the window inside ``write()`` between the parquet
-        ``_SUCCESS`` commit and the manifest swap. Pass
-        ``min_age_seconds=0`` only when the store is known quiescent.
+        ``_SUCCESS`` commit and the manifest swap. The manifest update
+        itself is additionally race-safe regardless of the window: the
+        manifest is re-read immediately before commit and only the
+        recorded deletions are applied, so a stage committed by a
+        concurrent ``write()`` during the mtime walks is never
+        clobbered. Pass ``min_age_seconds=0`` only when the store is
+        known quiescent.
 
         Returns {"stages": [removed stage roots], "metrics": [removed
         metric files]} for operator logging.
@@ -181,11 +186,17 @@ class StageStore:
         import shutil
         import time
 
-        def _newest_mtime(path: str) -> float:
+        def _newest_mtime(path: str) -> float | None:
             # directory mtimes refresh when entries are created/renamed
             # inside them, so statting dirs alone tracks an active write
-            # without touching every data file
-            newest = os.stat(path).st_mtime
+            # without touching every data file. Returns None when the
+            # root vanishes mid-walk (a concurrent prune or cleanup
+            # script) — the caller skips it rather than crashing after
+            # some roots were already removed.
+            try:
+                newest = os.stat(path).st_mtime
+            except OSError:
+                return None
             for dirpath, dirnames, _ in os.walk(path):
                 for d in dirnames:
                     try:
@@ -199,26 +210,38 @@ class StageStore:
 
         removed: dict = {"stages": [], "metrics": []}
         now = time.time()
-        m = self._manifest()
+        snapshot = self._manifest()
         for entry in sorted(os.listdir(self.root)):
             p = os.path.join(self.root, entry)
             if entry == "_metrics" or not os.path.isdir(p):
                 continue
             if not self.is_committed(entry):
-                if now - _newest_mtime(p) < min_age_seconds:
+                newest = _newest_mtime(p)
+                if newest is None or now - newest < min_age_seconds:
                     continue  # possibly a live write — leave it alone
                 shutil.rmtree(p, ignore_errors=True)
-                m["stages"].pop(entry, None)
                 removed["stages"].append(entry)
         # manifest entries whose directories vanished entirely
         for stage in [
             s
-            for s in m["stages"]
+            for s in snapshot["stages"]
             if not os.path.isdir(os.path.join(self.root, s))
         ]:
-            m["stages"].pop(stage, None)
-            removed["stages"].append(stage)
-        self._commit_manifest(m)
+            if stage not in removed["stages"]:
+                removed["stages"].append(stage)
+        if removed["stages"]:
+            # RE-READ the manifest and apply only the recorded deletions:
+            # committing the snapshot taken at prune start would clobber
+            # any entry a concurrent write() committed during the (slow)
+            # mtime walks above — the quiet-window guard protects the
+            # rmtree, but only this re-read protects the manifest swap.
+            m = self._manifest()
+            for stage in removed["stages"]:
+                # a vanished-dir entry may have been re-created and
+                # re-committed meanwhile — only drop it if still dirless
+                if not os.path.isdir(os.path.join(self.root, stage)):
+                    m["stages"].pop(stage, None)
+            self._commit_manifest(m)
 
         mdir = os.path.join(self.root, "_metrics")
         if os.path.isdir(mdir) and keep_last_metrics >= 0:

@@ -455,6 +455,121 @@ def test_verify_edges_retry_pairs_identity_on_clean_and_no_dup_edges(spark):
     assert [(r.src, r.dst) for r in out] == [("img-a", "img-b")]
 
 
+def test_retry_guards_are_orientation_blind(spark):
+    """Pipeline star edges arrive hub->member in xxhash64-SURROGATE order
+    (candidate_edges_compact), so a verified edge's (src, dst) is reversed
+    relative to string order for ~half of all pairs; retry edges are
+    min-STRING-id ordered by construction. The already-verified anti-join
+    guard must therefore compare canonically — with a raw (src, dst)
+    compare, a pair verified as (c, b) re-enters via a collider bucket's
+    retry as (b, c) and the output holds the same unordered pair twice
+    (double PSNR decode downstream, duplicate s3 snapshot rows)."""
+    from arhivum_spark.operators.lsh import (
+        verify_edges_rehub,
+        verify_edges_retry_pairs,
+    )
+
+    cfg = DedupConfig()
+    k = cfg.num_perm
+    base = list(range(k))
+    reenc = base[:100] + [1000 + i for i in range(k - 100)]
+    foreign = [5000 + i for i in range(k)]
+    sigs = _sig_rows(spark, {"img-b": base, "img-c": reenc, "img-z": foreign})
+    # (img-c, img-b): verified edge in REVERSED string order (hash-order
+    # hub election); plus a collider bucket whose star fails both edges
+    # and whose retry re-derives the pair string-ordered as (img-b, img-c)
+    edges = spark.createDataFrame(
+        [("img-c", "img-b"), ("img-z", "img-b"), ("img-z", "img-c")],
+        "src string, dst string",
+    )
+    for fn in (verify_edges_retry_pairs, verify_edges_rehub):
+        out = [(r.src, r.dst) for r in fn(edges, sigs, cfg).collect()]
+        assert out == [("img-c", "img-b")], fn.__name__
+
+
+def test_prune_does_not_clobber_concurrent_commit(spark, tmp_path):
+    """prune() re-reads the manifest immediately before its commit and
+    applies only the recorded deletions: a stage committed by a
+    concurrent write() AFTER prune's initial manifest snapshot (during
+    the slow mtime walks) must survive. Committing the stale snapshot
+    would un-commit the stage — the next resume recomputes it and a
+    later prune reaps the good data as abandoned. The race is injected
+    through is_committed(), which prune calls once per stage root after
+    taking its snapshot."""
+    import json
+    import os
+
+    from arhivum_spark.sources.checkpoints import StageStore
+
+    root = str(tmp_path / "store")
+    store = StageStore(spark, root)
+    df = spark.range(10)
+    store.write("s_live", df)
+    # abandoned root (no manifest entry, no _SUCCESS) so prune has a
+    # deletion to record — the manifest-commit path must still run
+    os.makedirs(os.path.join(root, "s_dead", "data"))
+
+    real_is_committed = StageStore.is_committed
+    state = {"fired": False}
+
+    def racing_is_committed(self, stage):
+        if not state["fired"]:
+            state["fired"] = True
+            # the concurrent writer: full commit protocol for a NEW stage
+            d = os.path.join(root, "s_concurrent", "data")
+            os.makedirs(d)
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+            m = self._manifest()
+            m["stages"]["s_concurrent"] = {
+                "committed_at": "now", "write_seconds": 0.0,
+            }
+            self._commit_manifest(m)
+        return real_is_committed(self, stage)
+
+    StageStore.is_committed = racing_is_committed
+    try:
+        removed = store.prune(min_age_seconds=0)
+    finally:
+        StageStore.is_committed = real_is_committed
+
+    assert "s_dead" in removed["stages"]
+    with open(os.path.join(root, "manifest.json")) as f:
+        stages = set(json.load(f)["stages"])
+    assert stages == {"s_live", "s_concurrent"}
+    assert store.is_committed("s_concurrent")
+
+
+def test_prune_survives_root_vanishing_mid_walk(spark, tmp_path):
+    """A stage root deleted between prune's listdir and its mtime walk
+    (another prune, an external cleanup) must be skipped, not crash the
+    pass after some roots were already reaped."""
+    import os
+    import shutil
+
+    from arhivum_spark.sources.checkpoints import StageStore
+
+    root = str(tmp_path / "store")
+    store = StageStore(spark, root)
+    store.write("s_live", spark.range(5))
+    os.makedirs(os.path.join(root, "s_ghost", "data"))
+
+    real_is_committed = StageStore.is_committed
+
+    def vanishing_is_committed(self, stage):
+        if stage == "s_ghost":
+            shutil.rmtree(os.path.join(root, "s_ghost"))
+            return False
+        return real_is_committed(self, stage)
+
+    StageStore.is_committed = vanishing_is_committed
+    try:
+        removed = store.prune(min_age_seconds=0)  # must not raise
+    finally:
+        StageStore.is_committed = real_is_committed
+    assert "s_ghost" not in removed["stages"]
+    assert store.is_committed("s_live")
+
+
 def test_band_keys_are_64bit_and_slice_determined(spark):
     """Equal 4-value slices in the same band must collide; the key column
     must be a long (64-bit) — 32-bit keys birthday-collide at n^2 rate
