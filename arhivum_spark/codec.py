@@ -22,6 +22,7 @@ which this codec makes verifiable without image libs.
 
 from __future__ import annotations
 
+import ast
 import struct
 import zlib
 
@@ -120,12 +121,18 @@ def parse_exif_trailer(data: bytes) -> dict | None:
         kv = body[off + 2 : off + 2 + n].decode()
         off += 2 + n
         k, _, raw = kv.partition("=")
-        if raw.startswith("'"):
-            out[k] = raw[1:-1]
-        elif "." in raw:
-            out[k] = float(raw)
+        if raw[:1] in ("'", '"'):
+            # repr() quoting is content-dependent (an apostrophe in the
+            # value switches it to double quotes, escapes appear for
+            # mixed quoting) — literal_eval inverts all of repr's forms
+            out[k] = ast.literal_eval(raw)
         else:
-            out[k] = int(raw)
+            try:
+                out[k] = int(raw)
+            except ValueError:
+                # floats whose str() lacks a '.' (1e+20, inf, nan) land
+                # here too — the '.' sniff alone misparsed them
+                out[k] = float(raw)
     return out
 
 

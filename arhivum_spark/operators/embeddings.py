@@ -442,6 +442,15 @@ def rhp_ann_topk(
     gracefully (other tables still contribute) instead of the join
     exploding quadratically.
 
+    Contract note: a query whose buckets are ALL singletons (an isolated
+    out-of-distribution vector sharing no bucket with any other row in
+    any table, or one sampled out of a capped hot bucket in every table)
+    yields ZERO output rows for that query_id — LSH-bucket ANN has no
+    candidates to rank, it does not fall back to a scan. Callers needing
+    a guaranteed top-k per query lower `nbits` / raise `n_tables`, or
+    use the exact `cosine_topk`; ivf_probe_topk (nprobe>=1 cells per
+    query) never drops a query and is the engine's covering-search path.
+
     EAGER: constructing this plan runs Spark jobs (dim probe +
     _cap_buckets' max-bucket probe materializing the signature pass).
     """

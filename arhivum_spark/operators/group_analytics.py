@@ -30,12 +30,88 @@ def group_content_hash(
     df: DataFrame, group_col: str, hash_col: str = "sha256"
 ) -> DataFrame:
     """SHA-256 over the lexicographically sorted member hashes, no separator,
-    lowercase hex — byte-parity with CodeProjectScannerService.java:235-248."""
-    return df.groupBy(group_col).agg(
-        F.sha2(
-            F.concat_ws("", F.sort_array(F.collect_list(hash_col))), 256
-        ).alias("content_hash"),
-        F.count("*").alias("n_members"),
+    lowercase hex — byte-parity with CodeProjectScannerService.java:235-248.
+
+    Scale shape: NOT collect_list (one degenerate group key — the same
+    hot-cohort class lsh.py salts and dedup_text.py collapses — would
+    materialize every member hash in a single aggregation buffer on one
+    executor). Instead: shuffle by group, sort within partitions by
+    (group, hash) — Spark's binary UTF8 row sort is the same ordering
+    sort_array uses — and stream the sorted runs through an incremental
+    SHA-256 in Arrow batches, carrying the open group's digest state
+    across batch boundaries. Memory is O(arrow batch), not O(largest
+    group); null hashes are skipped from the digest but counted, exactly
+    collect_list's null-dropping + count(*) semantics. Parity with the
+    collect_list form is test-gated (tests/test_round5_review.py).
+    """
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {gtype}, content_hash string, n_members long"
+    sentinel = object()  # "no open group" marker (None is a real group key)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = sentinel
+        h = None
+        n = 0
+        done_keys: list = []
+        done_digests: list = []
+        done_counts: list = []
+        for pdf in batches:
+            keys = pdf.iloc[:, 0].to_numpy(dtype=object)
+            hashes = pdf.iloc[:, 1].to_numpy(dtype=object)
+            m = len(keys)
+            if m == 0:
+                continue
+            # contiguous group runs (input is sorted by group): segment
+            # starts are where the key changes, plus position 0
+            starts = np.concatenate(
+                ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1)
+            )
+            ends = np.concatenate((starts[1:], [m]))
+            for s, e in zip(starts, ends):
+                k = keys[s]
+                if cur is sentinel or k != cur:
+                    if cur is not sentinel:
+                        done_keys.append(cur)
+                        done_digests.append(h.hexdigest())
+                        done_counts.append(n)
+                    cur, h, n = k, hashlib.sha256(), 0
+                # nulls sort first and are excluded from the digest
+                # (collect_list drops them) but counted (count(*))
+                h.update(
+                    "".join(
+                        x for x in hashes[s:e] if x is not None
+                    ).encode()
+                )
+                n += int(e - s)
+            if done_keys:
+                yield pd.DataFrame(
+                    {
+                        group_col: done_keys,
+                        "content_hash": done_digests,
+                        "n_members": done_counts,
+                    }
+                )
+                done_keys, done_digests, done_counts = [], [], []
+        if cur is not sentinel:
+            yield pd.DataFrame(
+                {
+                    group_col: [cur],
+                    "content_hash": [h.hexdigest()],
+                    "n_members": [n],
+                }
+            )
+
+    return (
+        df.select(group_col, F.col(hash_col).cast("string").alias(hash_col))
+        .repartition(group_col)
+        .sortWithinPartitions(group_col, hash_col)
+        .mapInPandas(kernel, out_schema)
     )
 
 

@@ -117,7 +117,14 @@ def extract_exif(
             ids, structs = [], []
             for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
                 ids.append(rid)
-                t = codec.parse_exif_trailer(bytes(raw))
+                try:
+                    # per-row isolation (same continue-past-errors
+                    # contract as attach_media_meta): a truncated or
+                    # corrupt trailer yields a null struct instead of
+                    # failing the whole mapInPandas stage
+                    t = codec.parse_exif_trailer(bytes(raw))
+                except Exception:
+                    t = None
                 if t is None:
                     structs.append(None)
                     continue

@@ -39,13 +39,20 @@ def resolve_zones(
     zone_table: (folder_path, zone). The zone table is per-user config —
     tiny — so the join is broadcast; the only shuffle is the explode-side
     window, bounded by path depth.
+
+    The deepest-match window partitions on a per-row surrogate id, not the
+    path VALUE: two input rows sharing a path (the same file seen from two
+    scans) must each keep their own output row, and a null/empty path must
+    survive with zone = null (explode_outer) rather than vanish.
     """
     parts = F.split(F.col(path_col), sep)
     prefixes = F.transform(
         F.sequence(F.lit(1), F.size(parts)),
         lambda i: F.concat_ws(sep, F.slice(parts, 1, i)),
     )
-    exploded = df.withColumn("_prefix", F.explode(prefixes))
+    exploded = df.withColumn(
+        "_zrid", F.monotonically_increasing_id()
+    ).withColumn("_prefix", F.explode_outer(prefixes))
     joined = exploded.join(
         F.broadcast(
             zone_table.select(
@@ -55,7 +62,7 @@ def resolve_zones(
         "_prefix",
         "left",
     )
-    w = Window.partitionBy(path_col).orderBy(
+    w = Window.partitionBy("_zrid").orderBy(
         F.col("zone").isNull().asc(), F.length("_prefix").desc()
     )
     return (
@@ -65,7 +72,7 @@ def resolve_zones(
             "is_inherited",
             F.col("zone").isNotNull() & (F.col("_prefix") != F.col(path_col)),
         )
-        .drop("_rk", "_prefix")
+        .drop("_rk", "_prefix", "_zrid")
     )
 
 

@@ -1486,9 +1486,9 @@ SELECT a.id AS id_a, b.id AS id_b,
              ELSE least(a.n_files, b.n_files) * 100.0
                   / greatest(a.n_files, b.n_files) END, 2) AS similarity
 FROM proj a JOIN proj b ON a.id < b.id
-WHERE CASE WHEN a.content_hash = b.content_hash THEN 100.0
+WHERE round(CASE WHEN a.content_hash = b.content_hash THEN 100.0
       ELSE least(a.n_files, b.n_files) * 100.0
-           / greatest(a.n_files, b.n_files) END >= 90.0
+           / greatest(a.n_files, b.n_files) END, 2) >= 90.0
 """
 
 

@@ -75,36 +75,46 @@ def flag_duplicates_stateful(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # the id/state schemas follow the caller's id column type (string
+    # image_ids and long event_ids are both canonical engine shapes) —
+    # hardcoding `long` here made every non-integer id fail inside the
+    # state-update UDF
+    id_type = stream.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{hash_col} string, {id_col} long, is_duplicate boolean, "
-        f"representative_id long, seen_before long"
+        f"{hash_col} string, {id_col} {id_type}, is_duplicate boolean, "
+        f"representative_id {id_type}, seen_before long"
     )
-    state_schema = "first_id long, n_seen long"
+    state_schema = f"first_id {id_type}, n_seen long"
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (first_id, n_seen) = state.get if state.exists else (None, 0)
         if order_within_batch:
             merged = pd.concat(list(pdfs), ignore_index=True)
             pdfs = iter([merged.sort_values(id_col)])
         for pdf in pdfs:
-            ids = pdf[id_col].tolist()
-            rows = []
-            for rid in ids:
-                if first_id is None:
-                    first_id = int(rid)
-                    rows.append((key[0], rid, False, first_id, n_seen))
-                else:
-                    rows.append((key[0], rid, True, first_id, n_seen))
-                n_seen += 1
+            n = len(pdf)
+            if n == 0:
+                continue
+            dup = np.ones(n, dtype=bool)
+            if first_id is None:
+                first_id = pdf[id_col].iloc[0]
+                if isinstance(first_id, np.generic):
+                    first_id = first_id.item()  # state needs a native type
+                dup[0] = False
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    hash_col, id_col, "is_duplicate",
-                    "representative_id", "seen_before",
-                ],
+                {
+                    hash_col: key[0],
+                    id_col: pdf[id_col].values,
+                    "is_duplicate": dup,
+                    "representative_id": first_id,
+                    "seen_before": n_seen + np.arange(n, dtype="int64"),
+                }
             )
+            n_seen += n
         state.update((first_id, n_seen))
 
     return (

@@ -54,14 +54,26 @@ def caption_recall(spark, images, p, workdir: str) -> dict:
     # this path scans the raw image-bytes parquet through attach_signatures
     # WITHOUT run_pipeline's reader-batch pin — at 2.4M that is the exact
     # round-4 vectorized-reader contiguous-buffer OOM (hit in round 5;
-    # "Cannot reserve additional contiguous bytes ... 97559482")
+    # "Cannot reserve additional contiguous bytes ... 97559482").
+    # Snapshot the three caption-relevant columns BEFORE caption_pairs,
+    # exactly as run_pipeline's s1 stage does: caption_pairs consumes the
+    # sigs frame in two union legs (SimHash + substring), and feeding it
+    # the unsnapshotted frame makes the concurrent AQE query stages
+    # re-scan the full image-bytes parquet 2-3x in parallel — at 4.8M
+    # (108 GB) the doubled in-flight scan state is a Java-heap OOM
+    # (cliff #6, found by this gate; the 2.4M input merely fit).
+    sig_cols = os.path.join(workdir, "caption_sig_cols.parquet")
     with pinned_reader_batch(spark, cfg.parquet_batch_rows):
-        sigs = attach_signatures(images, cfg)
-        got = caption_pairs(
-            sigs, StageStore(spark, stage_root), cfg
-        ).toPandas()
+        attach_signatures(images, cfg).select(
+            "image_id", "simhash", "caption"
+        ).write.mode("overwrite").parquet(sig_cols)
+    sig_scan = time.time() - t0
+    got = caption_pairs(
+        spark.read.parquet(sig_cols), StageStore(spark, stage_root), cfg
+    ).toPandas()
     wall = time.time() - t0
     shutil.rmtree(stage_root, ignore_errors=True)
+    shutil.rmtree(sig_cols, ignore_errors=True)
     got_set = set(zip(got["id_a"], got["id_b"])) | set(
         zip(got["id_b"], got["id_a"])
     )
@@ -89,6 +101,7 @@ def caption_recall(spark, images, p, workdir: str) -> dict:
         "caption_recall": round(1 - n_missing / len(truth), 6),
         "caption_edges_emitted": int(len(got)),
         "caption_stage_wall_sec": round(wall, 1),
+        "caption_sig_scan_sec": round(sig_scan, 1),
     }
 
 
