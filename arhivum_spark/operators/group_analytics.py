@@ -35,14 +35,26 @@ def group_content_hash(
     Scale shape: NOT collect_list (one degenerate group key — the same
     hot-cohort class lsh.py salts and dedup_text.py collapses — would
     materialize every member hash in a single aggregation buffer on one
-    executor). Instead: shuffle by group, sort within partitions by
-    (group, hash) — Spark's binary UTF8 row sort is the same ordering
-    sort_array uses — and stream the sorted runs through an incremental
-    SHA-256 in Arrow batches, carrying the open group's digest state
-    across batch boundaries. Memory is O(arrow batch), not O(largest
-    group); null hashes are skipped from the digest but counted, exactly
-    collect_list's null-dropping + count(*) semantics. Parity with the
-    collect_list form is test-gated (tests/test_round5_review.py).
+    executor). Instead: shuffle by group, sort within partitions by the
+    TYPED (group, hash) — the same ordering ``sort_array`` uses, so a
+    numeric hash column sorts numerically, not lexicographically on its
+    string form — then stream the sorted runs through an incremental
+    SHA-256 over Spark's cast-to-string of each value (what
+    ``concat_ws`` would feed the digest), in Arrow batches, carrying
+    the open group's digest state across batch boundaries. Memory is
+    O(arrow batch), not O(largest group); null hashes are skipped from
+    the digest but counted, exactly collect_list's null-dropping +
+    count(*) semantics. Group-run detection uses Spark's GROUPING
+    equality, not Python's: NaN keys are one group (and -0.0 == 0.0),
+    array-typed keys compare element-wise — ``groupBy`` parity, where
+    raw numpy ``!=`` would split NaN runs or raise on arrays. Emitted
+    float keys are normalized like Spark's grouping output (-0.0 ->
+    0.0); one divergence remains: a NaN group key is emitted as NULL,
+    because the pandas->Arrow bridge treats NaN in a float column as
+    the null sentinel (the group is still exactly one output row with
+    the right digest and count). Parity with the collect_list form is
+    test-gated (tests/test_round5_review.py), including int-typed hash
+    columns and NaN/array group keys.
     """
     import hashlib
     from typing import Iterator
@@ -54,8 +66,32 @@ def group_content_hash(
     out_schema = f"{group_col} {gtype}, content_hash string, n_members long"
     sentinel = object()  # "no open group" marker (None is a real group key)
 
+    def canon(k):
+        # Spark grouping equality: NaN == NaN, -0.0 == 0.0, arrays
+        # element-wise. Map each key to a hashable canonical form so
+        # run detection can use plain ``!=`` on object arrays.
+        if k is None:
+            return None
+        if isinstance(k, (float, np.floating)):
+            f = float(k)
+            return "NaN" if f != f else f + 0.0  # +0.0 folds -0.0
+        if isinstance(k, (np.ndarray, list, tuple)):
+            return tuple(canon(x) for x in k)
+        if isinstance(k, np.generic):
+            return k.item()
+        return k
+
+    def out_key(k):
+        # emit what groupBy would: -0.0 normalized to 0.0; NaN passes
+        # through (and becomes null at the Arrow bridge, documented)
+        if isinstance(k, (float, np.floating)):
+            f = float(k)
+            return f + 0.0 if f == f else f
+        return k
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cur = sentinel
+        cur = sentinel  # canonical form of the open group's key
+        cur_orig = None  # original (as-received) key, what we emit
         h = None
         n = 0
         done_keys: list = []
@@ -67,20 +103,23 @@ def group_content_hash(
             m = len(keys)
             if m == 0:
                 continue
+            keys_c = np.empty(m, dtype=object)
+            for i in range(m):
+                keys_c[i] = canon(keys[i])
             # contiguous group runs (input is sorted by group): segment
-            # starts are where the key changes, plus position 0
+            # starts are where the canonical key changes, plus position 0
             starts = np.concatenate(
-                ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1)
+                ([0], np.flatnonzero(keys_c[1:] != keys_c[:-1]) + 1)
             )
             ends = np.concatenate((starts[1:], [m]))
             for s, e in zip(starts, ends):
-                k = keys[s]
+                k = keys_c[s]
                 if cur is sentinel or k != cur:
                     if cur is not sentinel:
-                        done_keys.append(cur)
+                        done_keys.append(out_key(cur_orig))
                         done_digests.append(h.hexdigest())
                         done_counts.append(n)
-                    cur, h, n = k, hashlib.sha256(), 0
+                    cur, cur_orig, h, n = k, keys[s], hashlib.sha256(), 0
                 # nulls sort first and are excluded from the digest
                 # (collect_list drops them) but counted (count(*))
                 h.update(
@@ -101,16 +140,22 @@ def group_content_hash(
         if cur is not sentinel:
             yield pd.DataFrame(
                 {
-                    group_col: [cur],
+                    group_col: [out_key(cur_orig)],
                     "content_hash": [h.hexdigest()],
                     "n_members": [n],
                 }
             )
 
+    # Sort on the TYPED hash value; the kernel digests the cast-string
+    # form (cols 0 and 1), so the typed sort key rides third.
     return (
-        df.select(group_col, F.col(hash_col).cast("string").alias(hash_col))
+        df.select(
+            group_col,
+            F.col(hash_col).cast("string").alias("_hash_str"),
+            F.col(hash_col).alias("_hash_typed"),
+        )
         .repartition(group_col)
-        .sortWithinPartitions(group_col, hash_col)
+        .sortWithinPartitions(group_col, "_hash_typed")
         .mapInPandas(kernel, out_schema)
     )
 

@@ -120,49 +120,53 @@ def extract_exif(
                 try:
                     # per-row isolation (same continue-past-errors
                     # contract as attach_media_meta): a truncated or
-                    # corrupt trailer yields a null struct instead of
+                    # corrupt trailer — OR one that parses but carries an
+                    # unexpected field type (the int(dt) / flash_raw & 1
+                    # coercions below) — yields a null struct instead of
                     # failing the whole mapInPandas stage
                     t = codec.parse_exif_trailer(bytes(raw))
+                    if t is None:
+                        structs.append(None)
+                        continue
+                    lat, lon, alt = (
+                        t.get("gps_lat"), t.get("gps_lon"), t.get("gps_alt")
+                    )
+                    gps = (
+                        None
+                        if lat is None and lon is None and alt is None
+                        else {"latitude": lat, "longitude": lon, "altitude": alt}
+                    )
+                    flash_raw = t.get("flash_raw")
+                    dt = t.get("datetime_original")
+                    structs.append(
+                        {
+                            "camera_make": t.get("camera_make"),
+                            "camera_model": t.get("camera_model"),
+                            "datetime_original": (
+                                None
+                                if dt is None
+                                else datetime.fromtimestamp(
+                                    int(dt), tz=timezone.utc
+                                ).strftime("%Y-%m-%d %H:%M:%S")
+                            ),
+                            "width": t.get("width"),
+                            "height": t.get("height"),
+                            "orientation": t.get("orientation"),
+                            "gps": gps,
+                            "lens_model": t.get("lens_model"),
+                            "focal_length": t.get("focal_length"),
+                            "aperture": t.get("aperture"),
+                            "shutter_speed": t.get("shutter_speed"),
+                            "iso": t.get("iso"),
+                            "flash": (
+                                None
+                                if flash_raw is None
+                                else (flash_raw & 0x1) != 0
+                            ),
+                        }
+                    )
                 except Exception:
-                    t = None
-                if t is None:
                     structs.append(None)
-                    continue
-                lat, lon, alt = (
-                    t.get("gps_lat"), t.get("gps_lon"), t.get("gps_alt")
-                )
-                gps = (
-                    None
-                    if lat is None and lon is None and alt is None
-                    else {"latitude": lat, "longitude": lon, "altitude": alt}
-                )
-                flash_raw = t.get("flash_raw")
-                dt = t.get("datetime_original")
-                structs.append(
-                    {
-                        "camera_make": t.get("camera_make"),
-                        "camera_model": t.get("camera_model"),
-                        "datetime_original": (
-                            None
-                            if dt is None
-                            else datetime.fromtimestamp(
-                                int(dt), tz=timezone.utc
-                            ).strftime("%Y-%m-%d %H:%M:%S")
-                        ),
-                        "width": t.get("width"),
-                        "height": t.get("height"),
-                        "orientation": t.get("orientation"),
-                        "gps": gps,
-                        "lens_model": t.get("lens_model"),
-                        "focal_length": t.get("focal_length"),
-                        "aperture": t.get("aperture"),
-                        "shutter_speed": t.get("shutter_speed"),
-                        "iso": t.get("iso"),
-                        "flash": (
-                            None if flash_raw is None else (flash_raw & 0x1) != 0
-                        ),
-                    }
-                )
             yield pd.DataFrame({id_col: ids, "exif": structs})
 
     return df.select(id_col, bytes_col).mapInPandas(run, schema=schema)

@@ -18,6 +18,25 @@ Each test plants the exact failure scenario a final-round review found:
    sorted-run kernel must byte-match the collect_list/sort_array/sha2
    formulation, including null hashes (dropped from the digest, counted
    in n_members) and groups spanning multiple Arrow batches.
+
+A second review pass over the fixes themselves found three more defects,
+gated at the bottom of this file:
+
+5. extract_exif's per-row isolation covered only the trailer PARSE; a
+   trailer that parses but carries an unexpected field type (a string
+   datetime_original hitting int(dt), a string flash_raw hitting & 0x1)
+   still failed the whole stage — the struct-building coercions belong
+   inside the same try.
+6. group_content_hash cast the hash column to string BEFORE sorting
+   (lexicographic '10' < '2'), while the documented-equivalent
+   collect_list/sort_array formulation sorts the TYPED values and casts
+   after — numeric hash columns diverged. The sort key is now the typed
+   column; the digest input is Spark's cast-to-string, exactly what
+   concat_ws would feed.
+7. group_content_hash run detection used Python/numpy `!=`, which splits
+   NaN group keys into per-row runs (Spark grouping treats NaN as one
+   group) and raises on array-typed keys. Keys are canonicalized
+   (NaN sentinel, -0.0 -> 0.0, arrays -> tuples) before comparison.
 """
 
 from __future__ import annotations
@@ -179,3 +198,90 @@ def test_group_content_hash_matches_collect_list_formula(spark):
     assert got == ref
     assert got["small"][1] == 3  # null counted
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# 5-7. second-pass fixes: typed hash sort, NaN/array group keys,
+# struct-coercion isolation in extract_exif
+
+
+def test_extract_exif_isolates_bad_field_types(spark):
+    from arhivum_spark.operators.multimodal import extract_exif
+
+    good = codec.encode_exif_trailer({"iso": 100, "camera_make": "ACME"})
+    # parses fine, but datetime_original is a string -> int(dt) raises
+    bad_dt = codec.encode_exif_trailer(
+        {"datetime_original": "2021:01:01 00:00:00"}
+    )
+    # parses fine, but flash_raw is a string -> & 0x1 raises
+    bad_flash = codec.encode_exif_trailer({"flash_raw": "on"})
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(b"xx" + good)),
+            ("b", bytearray(b"xx" + bad_dt)),
+            ("c", bytearray(b"xx" + bad_flash)),
+        ],
+        "image_id string, bytes binary",
+    )
+    out = {r["image_id"]: r["exif"] for r in extract_exif(df).collect()}
+    assert out["a"] is not None and out["a"]["iso"] == 100
+    assert out["b"] is None  # coercion failure -> null struct, not a crash
+    assert out["c"] is None
+
+
+def test_group_content_hash_numeric_hash_col_sorts_typed(spark):
+    from arhivum_spark.operators.group_analytics import group_content_hash
+
+    # int values 2 and 10: typed sort -> "210"; a pre-cast string sort
+    # would give "102" and a different digest
+    df = spark.createDataFrame(
+        [("g", 2), ("g", 10)], "source string, h long"
+    )
+    got = {
+        r["source"]: (r["content_hash"], r["n_members"])
+        for r in group_content_hash(df, "source", "h").collect()
+    }
+    ref = {
+        r["source"]: (r["content_hash"], r["n_members"])
+        for r in df.groupBy("source")
+        .agg(
+            F.sha2(
+                F.concat_ws("", F.sort_array(F.collect_list("h"))), 256
+            ).alias("content_hash"),
+            F.count("*").alias("n_members"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+def test_group_content_hash_nan_group_key_is_one_group(spark):
+    from arhivum_spark.operators.group_analytics import group_content_hash
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(nan, "a"), (nan, "b"), (1.0, "c"), (-0.0, "d"), (0.0, "e")],
+        "source double, sha256 string",
+    )
+    rows = group_content_hash(df, "source", "sha256").collect()
+    # Spark grouping: NaN is ONE group, -0.0 and 0.0 are one group.
+    # Documented divergence: the NaN key surfaces as null through the
+    # pandas->Arrow bridge — but still exactly one row, correct count.
+    assert len(rows) == 3
+    by_key = {r["source"]: r["n_members"] for r in rows}
+    assert by_key[None] == 2  # the NaN group (bridge nulls the key)
+    assert by_key[1.0] == 1
+    assert by_key[0.0] == 2  # -0.0 normalized like groupBy's output
+    assert math.copysign(1.0, [k for k in by_key if k == 0.0][0]) == 1.0
+
+
+def test_group_content_hash_array_group_key(spark):
+    from arhivum_spark.operators.group_analytics import group_content_hash
+
+    df = spark.createDataFrame(
+        [([1, 2], "x"), ([1, 2], "y"), ([1, 3], "z")],
+        "source array<int>, sha256 string",
+    )
+    rows = group_content_hash(df, "source", "sha256").collect()
+    got = {tuple(r["source"]): r["n_members"] for r in rows}
+    assert got == {(1, 2): 2, (1, 3): 1}
