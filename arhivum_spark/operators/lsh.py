@@ -140,10 +140,25 @@ def salted_candidate_edges(
             .otherwise(F.lit(0)),
         )
         .withColumn(
+            # the salt hash MUST mix in (band, key), not just the id: a
+            # per-id-only salt gives a true pair the SAME split/co-salt
+            # outcome in every hot bucket they share (P[split everywhere]
+            # = 1 - 1/salt_buckets, correlated), whereas per-(band,key)
+            # salting makes the draws independent — P[co-salted in at
+            # least one of k shared hot bands] = 1-(1-1/s)^k. Residual
+            # recall gap (documented): a true pair whose shared band keys
+            # are ALL hot and that loses every per-band salt draw AND
+            # every salt bucket's hub election; the hub chain only links
+            # buckets whose hubs verify against each other (trivially
+            # true for the identical-content cohorts that dominate real
+            # hot keys).
             "salt",
             F.when(
                 F.col("is_hot").isNotNull(),
-                F.pmod(F.xxhash64("image_id"), F.lit(cfg.salt_buckets)),
+                F.pmod(
+                    F.xxhash64("image_id", F.col("band"), F.col("key")),
+                    F.lit(cfg.salt_buckets),
+                ),
             ).otherwise(F.lit(0)),
         )
         .localCheckpoint(eager=False)
@@ -304,10 +319,19 @@ def verify_edges_rehub(
     8 share 4-12 bands each yet lose every one to multi-collider
     buckets — see verify_edges_retry_pairs for the bounded complete fix.
     """
-    verified = verify_edges(edges, sig_df, cfg, id_col=id_col)
-    failed = edges.join(
-        verified.select("src", "dst"), ["src", "dst"], "left_anti"
+    # score ONCE and pin (DISK_ONLY, same heap-headroom discipline as
+    # verify_edges_retry_pairs): the verified frame feeds three lineage
+    # branches (failed split, retry guard anti-join, final union) — an
+    # anti-join formulation over an unpinned verify_edges re-derives the
+    # edges x signatures scoring join through every branch
+    scored = score_edges(edges, sig_df, cfg, id_col=id_col).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
+    passing = F.col("est_jaccard") >= cfg.min_signature_agreement
+    verified = scored.filter(passing).select(
+        "src", "dst", "est_jaccard", "phash_hamming"
+    )
+    failed = scored.filter(~passing).select("src", "dst")
     retry_hub = failed.groupBy("src").agg(
         F.min("dst").alias("_h2"), F.count("*").alias("_fn")
     )
@@ -363,16 +387,21 @@ def verify_edges_retry_pairs(
     in exactly TWO verification passes and recovers every true pair that
     reached a bucket together:
 
-    - Failed (hub, member) edges are grouped by hub. Groups of
-      2..retry_allpairs_max members enumerate ALL member pairs
-      (g(g-1)/2 <= ~8k at the default bound of 128, covering every
-      occupancy observed at 4.8M), pre-filtered by phash hamming
+    - Failed (hub, member) edges are grouped by hub. Groups whose TOTAL
+      member count (passed + failed — a true pair can sit pass/fail
+      asymmetric when est_jaccard is non-transitive through the hub:
+      J(H,m1)=0.52 passes, J(H,m2)=0.45 fails, J(m1,m2)=0.7; pairing
+      only failed members would never retry it) is
+      2..retry_allpairs_max enumerate every failed x any pair
+      (bounded by g(g-1)/2 <= ~8k at the default bound of 128, covering
+      every occupancy observed at 4.8M), pre-filtered by phash hamming
       (<= retry_phash_max_hamming) INSIDE the self-join stage — any true
       pair among the rejects is verified DIRECTLY, no election luck.
-    - Larger groups fall back to one min-id re-election, keeping the
-      pass linear. Such groups are hot-key shrapnel the salting/cap
-      valves already bound; documented residual: a true pair inside one
-      with two colliders below it and no other shared band.
+    - Larger groups fall back to one min-id re-election over the failed
+      members, keeping the pass linear. Such groups are hot-key
+      shrapnel the salting/cap valves already bound; documented
+      residual: a true pair inside one with two colliders below it and
+      no other shared band.
 
     Cost model: most multi-member buckets are pure collider groups whose
     star edges ALL fail (600k measured: 3.36M of 3.46M star edges
@@ -404,29 +433,46 @@ def verify_edges_retry_pairs(
         "src", "dst", "est_jaccard", "phash_hamming"
     )
     failed = scored.filter(~passing).select("src", "dst", "ph_b")
+    # group-size bound on the TOTAL bucket-group membership (passed +
+    # failed), since the enumeration below pairs failed members against
+    # ALL members of the group
     sized = failed.join(
-        failed.groupBy("src").agg(F.count("*").alias("_fn")), "src"
+        scored.groupBy("src").agg(F.count("*").alias("_fn")), "src"
     )
     small = sized.filter(
         (F.col("_fn") >= 2) & (F.col("_fn") <= cfg.retry_allpairs_max)
     )
+    all_small = (
+        scored.select(
+            "src",
+            F.col("dst").alias("m2"),
+            F.col("ph_b").alias("p2"),
+            passing.alias("_pass2"),
+        )
+        # inner-joined on hub below, so only hubs with a small failed
+        # group contribute; no size filter needed on this side
+    )
     # the phash-hamming filter runs INSIDE the self-join stage, so the
-    # quadratic C(g,2) enumeration never crosses a shuffle boundary —
-    # measured at 600k it collapses 27.98M enumerated pairs to ~85k
+    # quadratic enumeration never crosses a shuffle boundary — measured
+    # at 600k it collapses 27.98M enumerated pairs to ~85k. Each
+    # unordered pair is enumerated exactly once: failed x failed only in
+    # m1 < m2 orientation; failed x passed from the failed side alone
+    # (passed members never appear on the left).
     member_pairs = (
         small.select("src", F.col("dst").alias("m1"), F.col("ph_b").alias("p1"))
-        .join(
-            small.select(
-                "src", F.col("dst").alias("m2"), F.col("ph_b").alias("p2")
-            ),
-            "src",
+        .join(all_small, "src")
+        .filter(
+            (F.col("m1") != F.col("m2"))
+            & ((F.col("m1") < F.col("m2")) | F.col("_pass2"))
         )
-        .filter(F.col("m1") < F.col("m2"))
         .filter(
             F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
             <= cfg.retry_phash_max_hamming
         )
-        .select(F.col("m1").alias("src"), F.col("m2").alias("dst"))
+        .select(
+            F.least("m1", "m2").alias("src"),
+            F.greatest("m1", "m2").alias("dst"),
+        )
     )
     big = sized.filter(F.col("_fn") > cfg.retry_allpairs_max)
     big_hub = big.groupBy("src").agg(F.min("dst").alias("_h2"))

@@ -97,9 +97,13 @@ def psnr_verify_edges(
         # ~ceil(n_edges/n_batches) edges, which may fit the broadcast
         # bound even when the configured in-flight bound does not
         batch_edges = -(-n_edges // n_batches)
+        # DISK_ONLY like every other pin in this stage: the batching
+        # path only activates on multi-million-edge sets, and parking
+        # the pair frame on-heap would erode the contiguous-allocation
+        # headroom the byte-bearing batch scans need (cliff #4/#5)
         split = pairs.withColumn(
             "_pb", F.pmod(F.xxhash64("src", "dst"), F.lit(n_batches))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         parts = []
         for b in range(n_batches):
             part = _psnr_scored(
@@ -175,7 +179,14 @@ def _psnr_scored(
             F.broadcast(side_map), id_col
         )
     else:
-        joined = images.select(id_col, bytes_col).join(side_map, id_col)
+        # the hint matters: without it Catalyst picks sort-merge
+        # (preferSortMergeJoin defaults true), which SORTS the multi-GB
+        # byte payloads on id — the exact anti-scaling pattern this
+        # function exists to avoid. SHUFFLE_HASH builds the hash table
+        # from the small side-map side and streams the bytes through.
+        joined = images.select(id_col, bytes_col).join(
+            side_map.hint("shuffle_hash"), id_col
+        )
     payload = joined.select(
         "src", "dst", "_side", F.col(bytes_col).alias("_b")
     )
@@ -215,6 +226,13 @@ def _psnr_scored(
                             if pa.shape == pb.shape
                             else -1.0
                         )
+                    except NotImplementedError:
+                        # decode_external stub / codec misconfiguration:
+                        # an INFRASTRUCTURE failure, not a verdict.
+                        # Mapping it to -1 would silently reject 100% of
+                        # candidate edges and commit a plausible-looking
+                        # empty s3b snapshot — fail the stage loudly.
+                        raise
                     except Exception:
                         v = -1.0
                     out_src.append(src[i])

@@ -729,3 +729,82 @@ def test_required_java_opts_survive_caller_extra_conf():
     assert merged.endswith("-Xss8m")
     # idempotent when the caller already carries the required flags
     assert _with_required_java_opts(merged) == merged
+
+
+# ---------------------------------------------------------------------------
+# round-5 close: retry completeness, SHJ fallback plan shape, infra-error
+# propagation in the PSNR kernel
+
+
+def test_retry_pairs_recovers_pass_fail_asymmetric_pair(spark):
+    """est_jaccard is not transitive through a hub: J(H,m1) can pass the
+    0.5 threshold while J(H,m2) fails it, with J(m1,m2) well above it.
+    A retry that pairs only FAILED members never enumerates (m1, m2) —
+    m2 is alone in its failed group — and the true pair is orphaned if
+    no other band saves it. The retry must pair failed members against
+    ALL members of the hub group (passed included)."""
+    from arhivum_spark.operators.lsh import (
+        verify_edges,
+        verify_edges_retry_pairs,
+    )
+
+    cfg = DedupConfig()
+    k = cfg.num_perm
+    base = list(range(k))
+    # m1 = base; H agrees with m1 on exactly half the positions (passes
+    # at >= 0.5); m2 agrees with m1 on 96/128 (passes) but with H on
+    # only 32/128 (fails)
+    hub = base[: k // 2] + [6000 + i for i in range(k - k // 2)]
+    m2 = [7000 + i for i in range(k // 4)] + base[k // 4:]
+    sigs = _sig_rows(spark, {"img-h": hub, "img-m1": base, "img-m2": m2})
+    edges = spark.createDataFrame(
+        [("img-h", "img-m1"), ("img-h", "img-m2")], "src string, dst string"
+    )
+    plain = {(r.src, r.dst) for r in verify_edges(edges, sigs, cfg).collect()}
+    assert plain == {("img-h", "img-m1")}  # m2 orphaned without the fix
+
+    got = {
+        (r.src, r.dst)
+        for r in verify_edges_retry_pairs(edges, sigs, cfg).collect()
+    }
+    assert got == {("img-h", "img-m1"), ("img-m1", "img-m2")}
+
+
+def test_psnr_fallback_join_is_shuffle_hash(spark):
+    """The non-broadcast side-map fallback must plan as a shuffled hash
+    join — a sort-merge join would SORT the multi-GB byte payloads on
+    id, the anti-scaling pattern psnr_verify_edges exists to avoid."""
+    from arhivum_spark.plans.image_dedup import _psnr_scored
+
+    images = spark.createDataFrame(
+        [("a", bytearray(b"x")), ("b", bytearray(b"y"))],
+        "image_id string, bytes binary",
+    )
+    pairs = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = _psnr_scored(
+        pairs, images, DedupConfig(), "image_id", "bytes",
+        use_broadcast=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_psnr_kernel_raises_on_codec_infra_error(spark):
+    """Undecodable-by-the-in-repo-codec bytes route to decode_external,
+    which raises NotImplementedError (the documented external-codec
+    swap-in point). That is an infrastructure failure, not a 'not a
+    duplicate' verdict: it must fail the stage loudly instead of
+    silently scoring every edge PSNR=-1 and committing an empty
+    snapshot."""
+    import pytest as _pytest
+
+    from arhivum_spark.plans.image_dedup import psnr_verify_edges
+
+    images = spark.createDataFrame(
+        [("a", bytearray(b"\x89PNGnotreally")), ("b", bytearray(b"junk"))],
+        "image_id string, bytes binary",
+    )
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(Exception, match="NotImplementedError"):
+        psnr_verify_edges(edges, images, DedupConfig()).collect()
