@@ -115,6 +115,13 @@ class DedupConfig:
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:
             raise ValueError("num_perm must equal bands * rows_per_band")
+        if not (0 <= self.simhash_max_hamming <= 63):
+            # pigeonhole blocking splits 64 bits into max_hamming+1
+            # chunks; >= 64 gives zero-width chunks (an all-pairs join)
+            raise ValueError(
+                "simhash_max_hamming must be in [0, 63], got "
+                f"{self.simhash_max_hamming}"
+            )
 
 
 DEFAULT_CONFIG = DedupConfig()

@@ -26,20 +26,17 @@ from __future__ import annotations
 
 import numpy as np
 
+from arhivum_spark.functions.tokens import (
+    splitmix64_np as _splitmix64_np,  # re-exported; tests import it here
+    token_hashes_batch,
+)
+
 _BITS = np.arange(64, dtype=np.uint64)
 _POLY_B = 0x100000001B3  # odd multiplier, wraps mod 2^64
 _MASK64 = (1 << 64) - 1
 # ~2 MB bit-matrix bound per chunk: numpy temporaries must stay
 # cache-resident at 32-way parallelism (docs/ENGINEERING_NOTES.md)
 _CHUNK_TOKENS = 4096
-
-
-def _splitmix64_np(z: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain constant set)."""
-    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
 
 
 def _splitmix64_int(z: int) -> int:
@@ -90,48 +87,11 @@ def simhash_batch(captions: list[str]) -> np.ndarray:
     out = np.zeros(n_docs, dtype=np.int64)
     if n_docs == 0:
         return out
-    # Doc boundaries come from per-doc encoded LENGTHS, not a sentinel
-    # byte: an embedded NUL (legal in Spark strings) must hash as an
-    # ordinary token character — exactly as the scalar reference does —
-    # not silently shift every later doc's segment.
-    enc = [("" if c is None else c).encode() for c in captions]
-    lengths = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
-    arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
-    is_sep = (
-        (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
-        | (arr == 11) | (arr == 12)
-    )
-    nonsep = ~is_sep
-    if not nonsep.any():
+    # tokenization + token hashing: the ONE shared byte-scan kernel
+    # (functions/tokens.py — doc boundaries from per-doc lengths, NUL-safe)
+    tok_hash, _doc_of_tok, n_tok = token_hashes_batch(captions)
+    if len(tok_hash) == 0:
         return out
-
-    prev_sep = np.empty(len(arr), dtype=bool)
-    prev_sep[0] = True
-    prev_sep[1:] = is_sep[:-1]
-    doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-    prev_sep[doc_starts[lengths > 0]] = True  # tokens never span docs
-    tok_start = nonsep & prev_sep
-    doc_of_char = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
-
-    # token hashes: polynomial over bytes, wrapped mod 2^64
-    idx = np.flatnonzero(nonsep)
-    starts = np.flatnonzero(tok_start)
-    tok_of_char = np.cumsum(tok_start)[idx] - 1
-    pos_in_tok = idx - starts[tok_of_char]
-    max_len = int(pos_in_tok.max()) + 1
-    pow_table = np.empty(max_len, dtype=np.uint64)
-    pow_table[0] = 1
-    if max_len > 1:
-        np.cumprod(
-            np.full(max_len - 1, _POLY_B, dtype=np.uint64), out=pow_table[1:]
-        )
-    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the point
-        terms = arr[idx].astype(np.uint64) * pow_table[pos_in_tok]
-        tok_begin = np.flatnonzero(tok_start[idx])
-        tok_hash = _splitmix64_np(np.add.reduceat(terms, tok_begin))
-
-    doc_of_tok = doc_of_char[starts]
-    n_tok = np.bincount(doc_of_tok, minlength=n_docs)
     tok_offsets = np.concatenate(([0], np.cumsum(n_tok)))
 
     d0 = 0

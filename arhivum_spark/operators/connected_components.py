@@ -167,7 +167,12 @@ def connected_components(
                 "back to the large-star/small-star algorithm",
                 max_iters, n_changed,
             )
-            return connected_components_star(vertices, edges, id_col=id_col)
+            # forward stats so "rounds" reports the star pass that
+            # actually produced the result (star overwrites it; the
+            # fallback=True set above survives)
+            return connected_components_star(
+                vertices, edges, id_col=id_col, stats=stats
+            )
         raise ConvergenceError(
             f"connected_components did not converge in {max_iters} "
             f"iterations ({n_changed} labels still changing); component "

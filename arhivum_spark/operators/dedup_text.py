@@ -41,6 +41,10 @@ from pyspark.sql import functions as F
 
 from arhivum_spark.config import DedupConfig
 from arhivum_spark.functions import minhash as mh
+from arhivum_spark.functions.tokens import (
+    splitmix64_np as _splitmix64,  # shared finalizer (one definition)
+    token_hashes_batch,
+)
 
 
 def simhash_near_pairs(
@@ -66,9 +70,13 @@ def simhash_near_pairs(
     from pyspark.sql import Window
 
     flagged = df.select(F.col(id_col).alias("_id"), F.col(simhash_col).alias("_sh"))
+    # the window-derived frame feeds THREE lineage branches (identity
+    # edges + both sides of the chunk self-join via reps) — pin it or the
+    # full-input partitionBy-window shuffle re-executes per branch
+    # (exchange reuse is not guaranteed across AQE stages)
     flagged = flagged.withColumn("_rep", F.first("_id").over(
         Window.partitionBy("_sh").orderBy("_id")
-    ))
+    )).localCheckpoint(eager=False)
     identity_edges = (
         flagged.filter(F.col("_id") != F.col("_rep"))
         .select(
@@ -81,7 +89,19 @@ def simhash_near_pairs(
 
     n_chunks = cfg.simhash_max_hamming + 1
     width = 64 // n_chunks
+    if width < 1:
+        # max_hamming >= 64 would give zero-width chunks — every row
+        # joins every row (all-pairs). Config validation rejects it; this
+        # guards direct callers.
+        raise ValueError(
+            "simhash_max_hamming must be <= 63 (pigeonhole blocking needs "
+            f"chunks of >= 1 bit), got {cfg.simhash_max_hamming}"
+        )
+    # two's-complement fold: for width == 64 (max_hamming = 0, exact-match
+    # blocking) the all-ones mask does not fit a signed LongType literal
     mask = (1 << width) - 1
+    if mask >= 1 << 63:
+        mask -= 1 << 64
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("_sh"), c * width).bitwiseAND(F.lit(mask))
@@ -168,6 +188,21 @@ def substring_pairs(
 
         keyed = df.select(
             F.col(id_col).alias("_id"), F.col(text_col).alias("_tx")
+        ).filter(
+            # Token-less texts (null / empty / whitespace-only) contain
+            # nothing and are contained in nothing (module contract) —
+            # they must NOT form identity-star edges here. Null handling
+            # is implicit: F.split(NULL) is NULL and F.size(NULL) = -1.
+            # (Without this, xxhash64(NULL) folds every null-text row
+            # into ONE seed-constant group and a caption-less corpus
+            # gets linked pairwise.)
+            F.size(
+                F.filter(
+                    F.split(F.col("_tx"), "[ \t\n\x0b\f\r]+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+            >= 1
         ).withColumn(
             # dual-hash group key: never sort/shuffle on the raw text twice
             "_rep",
@@ -212,6 +247,9 @@ def substring_pairs(
     ).withColumn("m", m_expr)
     prefix = F.slice("toks", F.lit(1), F.col("m"))
     suffix = F.slice("toks", F.col("n_tok") - F.col("m") + 1, F.col("m"))
+    # cand feeds THREE consumers (anchors_df distinct, prefix join,
+    # suffix join) — pin it or the corpus tokenize + 4-hash projection
+    # re-executes per consumer; pinned rows are ids + ints + hashes only
     cand = cand.select(
         F.col("_id").alias("contained_id"),
         F.col("n_tok").alias("len"),
@@ -220,7 +258,7 @@ def substring_pairs(
         F.md5(F.concat_ws("\x1f", prefix)).alias("pwh2"),
         F.xxhash64(F.concat_ws("\x1f", suffix)).alias("swh"),
         F.md5(F.concat_ws("\x1f", suffix)).alias("swh2"),
-    )
+    ).localCheckpoint(eager=False)
     # Anchor lengths stay a (tiny, <= log2(substring_max_tokens)+1 row)
     # FRAME broadcast-joined against the corpus — no driver collect, no
     # extra Spark job, and window emission covers exactly the anchor
@@ -303,10 +341,18 @@ def substring_pairs_within_groups(
     from arhivum_spark.functions.suffix_array import find_contained
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].tolist()
+        # null/empty texts do not participate: an empty byte sequence is
+        # vacuously "contained" everywhere, which is never the wanted
+        # semantics (mirrors the module contract's token-less rule), and
+        # None.encode() would fail the whole task
+        rows = [
+            (rid, t) for rid, t in zip(pdf[id_col], pdf[text_col])
+            if t is not None and len(t) > 0
+        ]
+        ids = [rid for rid, _ in rows]
         docs = [
             np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-            for t in pdf[text_col]
+            for _, t in rows
         ]
         pairs = find_contained(docs)
         return pd.DataFrame(
@@ -324,18 +370,8 @@ def substring_pairs_within_groups(
 # Document MinHash over token n-gram shingles
 
 
-_POLY_B = np.uint64(0x100000001B3)  # odd multiplier, wraps mod 2^64
 _GRAM_P = np.uint64(0x9E3779B97F4A7C15)
 _EMPTY_SENTINEL = np.int64(1)
-
-
-def _splitmix64(z: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain constant set) —
-    full-avalanche mixing of 64-bit lanes, wrapping uint64 arithmetic."""
-    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
 
 
 def _gram_hash_batch(texts: list[str], ngram: int) -> list[np.ndarray]:
@@ -354,50 +390,12 @@ def _gram_hash_batch(texts: list[str], ngram: int) -> list[np.ndarray]:
     n_docs = len(texts)
     if n_docs == 0:
         return []
-    # Doc boundaries from per-doc encoded LENGTHS, not a sentinel byte:
-    # an embedded NUL is an ordinary token character (it must not shift
-    # later docs' boundaries — the pre-round-4 sentinel scheme did).
-    enc = [t.encode() for t in texts]
-    lengths = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
-    arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
-    # Tokenization contract: split on ASCII whitespace — space/tab/LF/CR/
-    # VT/FF (all single bytes in UTF-8, so the vectorized scan handles
-    # them for free); runs of separators collapse. NARROWER than
-    # str.split(): \x1c-\x1f and unicode-only spaces (NBSP etc.) are NOT
-    # separators here.
-    is_sep = (
-        (arr == 32) | (arr == 9) | (arr == 10) | (arr == 13)
-        | (arr == 11) | (arr == 12)
-    )
-    nonsep = ~is_sep
-    if not nonsep.any():
+    # tokenization + token hashing: the ONE shared byte-scan kernel
+    # (functions/tokens.py — ASCII-whitespace contract, NUL-safe
+    # length-derived doc boundaries)
+    tok_hash, doc_of_tok, n_tok_per_doc = token_hashes_batch(texts)
+    if len(tok_hash) == 0:
         return [np.array([_EMPTY_SENTINEL]) for _ in range(n_docs)]
-
-    prev_sep = np.empty(len(arr), dtype=bool)
-    prev_sep[0] = True
-    prev_sep[1:] = is_sep[:-1]
-    doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-    prev_sep[doc_starts[lengths > 0]] = True  # tokens never span docs
-    tok_start = nonsep & prev_sep  # first char of every token
-    doc_of_char = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
-
-    # --- token hashes: polynomial over bytes, wrapped mod 2^64 ---
-    idx = np.flatnonzero(nonsep)
-    starts = np.flatnonzero(tok_start)
-    tok_of_char = np.cumsum(tok_start)[idx] - 1  # token id per nonsep char
-    pos_in_tok = idx - starts[tok_of_char]
-    max_len = int(pos_in_tok.max()) + 1
-    pow_table = np.empty(max_len, dtype=np.uint64)
-    pow_table[0] = 1
-    if max_len > 1:
-        np.cumprod(np.full(max_len - 1, _POLY_B, dtype=np.uint64),
-                   out=pow_table[1:])
-    terms = arr[idx].astype(np.uint64) * pow_table[pos_in_tok]
-    # reduceat offsets: positions (in compressed space) where tokens begin
-    tok_begin = np.flatnonzero(tok_start[idx])  # tok_start sliced to nonsep
-    tok_hash = _splitmix64(np.add.reduceat(terms, tok_begin))
-    doc_of_tok = doc_of_char[starts]
-    n_tok_per_doc = np.bincount(doc_of_tok, minlength=n_docs)
 
     # --- gram hashes: polynomial over n consecutive token hashes ---
     grams_parts: list[np.ndarray] = []

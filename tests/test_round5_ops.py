@@ -808,3 +808,97 @@ def test_psnr_kernel_raises_on_codec_infra_error(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(Exception, match="NotImplementedError"):
         psnr_verify_edges(edges, images, DedupConfig()).collect()
+
+
+# ---------------------------------------------------------------------------
+# dedup_text / connected_components review fixes
+
+
+def test_collapse_identical_skips_tokenless_texts(spark):
+    """Module contract: a token-less text (null / empty / whitespace-only)
+    contains nothing and is contained in nothing. The collapse path must
+    not star-link identical token-less texts — and null texts must not
+    all fold into one xxhash64(NULL) group."""
+    from arhivum_spark.operators.dedup_text import substring_pairs
+
+    cfg = DedupConfig()
+    df = spark.createDataFrame(
+        [
+            ("a", ""), ("b", ""),             # identical empty
+            ("c", " \t\n"), ("d", " \t\n"),   # identical whitespace-only
+            ("e", None), ("f", None),         # nulls
+            ("g", "x y z"), ("h", "x y z"),   # identical REAL text
+        ],
+        "id string, text string",
+    )
+    plain = {
+        (r.contained_id, r.container_id)
+        for r in substring_pairs(df, cfg).collect()
+    }
+    collapsed = {
+        (r.contained_id, r.container_id)
+        for r in substring_pairs(df, cfg, collapse_identical=True).collect()
+    }
+    want = {("g", "h"), ("h", "g")}  # mutual containment, real text only
+    assert plain == want
+    assert collapsed == want
+
+
+def test_substring_within_groups_tolerates_null_and_empty(spark):
+    from arhivum_spark.operators.dedup_text import (
+        substring_pairs_within_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("g1", "a", "hello world"),
+            ("g1", "b", "world"),
+            ("g1", "c", None),
+            ("g1", "d", ""),
+        ],
+        "grp string, id string, text string",
+    )
+    rows = substring_pairs_within_groups(df, "grp").collect()
+    got = {(r.contained_id, r.container_id) for r in rows}
+    # null/empty neither crash nor appear as vacuous containments
+    assert got == {("b", "a")}
+
+
+def test_simhash_exact_match_blocking_and_config_bounds(spark):
+    """simhash_max_hamming=0 is valid exact-match blocking: the width-64
+    mask must fold to a signed long literal instead of failing at plan
+    build. >= 64 is rejected at config construction."""
+    from arhivum_spark.operators.dedup_text import simhash_near_pairs
+
+    cfg = DedupConfig(simhash_max_hamming=0)
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 7), ("c", 8), ("d", -1)], "id string, simhash long"
+    )
+    rows = simhash_near_pairs(df, cfg).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in rows} == {("a", "b", 0)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="simhash_max_hamming"):
+        DedupConfig(simhash_max_hamming=64)
+
+
+def test_cc_fallback_stats_report_star_rounds(spark):
+    from arhivum_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    n = 10
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    stats: dict = {}
+    out = connected_components(
+        vertices, edges, max_iters=1, jump_after=99, stats=stats
+    )
+    assert {r.component for r in out.collect()} == {0}
+    assert stats["fallback"] is True
+    # rounds must describe the star pass that produced the result, not
+    # the abandoned 1-round propagation
+    assert stats["rounds"] > 1
