@@ -10,8 +10,13 @@ committed — resume-mid-pipeline after executor/driver loss.
 
 Commit protocol: write parquet to `<dir>/<stage>/data` (Spark's own job
 commit makes the directory complete-or-absent via _SUCCESS), then record the
-stage in `manifest.json` atomically (write tmp + os.replace). A stage is
-"committed" only if both exist.
+stage in `manifest.json` atomically (write tmp + os.replace) under an
+exclusive flock on `manifest.json.lock` — every manifest read-modify-write
+(write() and prune()) takes the lock, so two concurrent pipelines sharing a
+stage root cannot lose each other's entries to a lost update. (On a real
+cluster the same role is played by the object store's conditional put /
+Iceberg's atomic metadata swap.) A stage is "committed" only if both the
+manifest entry and `_SUCCESS` exist.
 
 Per-stage, per-partition metrics (north rule) are appended to a `_metrics`
 table: stage, spark partition id, row count, wall-clock.
@@ -19,9 +24,12 @@ table: stage, spark partition id, row count, wall-clock.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import shutil
 import time
+from contextlib import contextmanager, suppress
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +57,20 @@ class StageStore:
         with open(tmp, "w") as f:
             json.dump(m, f, indent=2)
         os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    @contextmanager
+    def _manifest_lock(self):
+        """Exclusive advisory lock for manifest read-modify-write.
+
+        flock is per-open-file and released on close, so a crashed
+        holder never wedges the store; lock scope is the manifest swap
+        only (milliseconds), never a data write."""
+        with open(self._manifest_path + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def is_committed(self, stage: str) -> bool:
         m = self._manifest()
@@ -89,12 +111,15 @@ class StageStore:
         committed = self.spark.read.parquet(path)
         if metrics:
             self._append_metrics(stage, path, elapsed)
-        m = self._manifest()
-        m["stages"][stage] = {
-            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "write_seconds": round(elapsed, 3),
-        }
-        self._commit_manifest(m)
+        with self._manifest_lock():
+            m = self._manifest()
+            m["stages"][stage] = {
+                "committed_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                "write_seconds": round(elapsed, 3),
+            }
+            self._commit_manifest(m)
         return committed
 
     def _append_metrics(self, stage: str, path: str, elapsed: float) -> None:
@@ -167,42 +192,42 @@ class StageStore:
           ``keep_last_metrics`` per stage.
 
         An uncommitted root is only "abandoned" once its tree has been
-        QUIET for ``min_age_seconds`` (newest directory mtime — a live
-        Spark write refreshes mtimes continuously as task files land in
-        ``data/_temporary``): pruning a store that another pipeline is
+        QUIET for ``min_age_seconds`` (newest mtime over dirs AND files
+        — a live Spark write refreshes dir mtimes as task files land in
+        ``data/_temporary``, and file mtimes while long tasks stream
+        into already-created part files): pruning a store that another
+        pipeline is
         actively writing into must not rmtree the stage mid-job, nor
         race the window inside ``write()`` between the parquet
         ``_SUCCESS`` commit and the manifest swap. The manifest update
-        itself is additionally race-safe regardless of the window: the
-        manifest is re-read immediately before commit and only the
-        recorded deletions are applied, so a stage committed by a
-        concurrent ``write()`` during the mtime walks is never
-        clobbered. Pass ``min_age_seconds=0`` only when the store is
-        known quiescent.
+        itself is race-safe regardless of the window: it takes the
+        store's flock, re-reads the manifest, and applies only the
+        recorded deletions, so a stage committed by a concurrent
+        ``write()`` (which takes the same lock) during the mtime walks
+        is never clobbered. Pass ``min_age_seconds=0`` only when the
+        store is known quiescent.
 
         Returns {"stages": [removed stage roots], "metrics": [removed
         metric files]} for operator logging.
         """
-        import shutil
-        import time
-
         def _newest_mtime(path: str) -> float | None:
-            # directory mtimes refresh when entries are created/renamed
-            # inside them, so statting dirs alone tracks an active write
-            # without touching every data file. Returns None when the
-            # root vanishes mid-walk (a concurrent prune or cleanup
-            # script) — the caller skips it rather than crashing after
-            # some roots were already removed.
+            # stat FILES as well as directories: a live write whose tasks
+            # stream into already-created part files for longer than
+            # min_age_seconds changes no directory entries — dir mtimes
+            # alone would call it quiet and rmtree an in-progress stage.
+            # Returns None when the root vanishes mid-walk (a concurrent
+            # prune or cleanup script) — the caller skips it rather than
+            # crashing after some roots were already removed.
             try:
                 newest = os.stat(path).st_mtime
             except OSError:
                 return None
-            for dirpath, dirnames, _ in os.walk(path):
-                for d in dirnames:
+            for dirpath, dirnames, filenames in os.walk(path):
+                for name in (*dirnames, *filenames):
                     try:
                         newest = max(
                             newest,
-                            os.stat(os.path.join(dirpath, d)).st_mtime,
+                            os.stat(os.path.join(dirpath, name)).st_mtime,
                         )
                     except OSError:
                         pass
@@ -215,7 +240,13 @@ class StageStore:
             p = os.path.join(self.root, entry)
             if entry == "_metrics" or not os.path.isdir(p):
                 continue
-            if not self.is_committed(entry):
+            # committed = manifest snapshot entry + _SUCCESS on disk (no
+            # per-entry manifest re-parse: the lost-update safety comes
+            # from the locked re-read at commit below, not from here)
+            committed = entry in snapshot["stages"] and os.path.exists(
+                os.path.join(p, "data", "_SUCCESS")
+            )
+            if not committed:
                 newest = _newest_mtime(p)
                 if newest is None or now - newest < min_age_seconds:
                     continue  # possibly a live write — leave it alone
@@ -230,18 +261,20 @@ class StageStore:
             if stage not in removed["stages"]:
                 removed["stages"].append(stage)
         if removed["stages"]:
-            # RE-READ the manifest and apply only the recorded deletions:
+            # LOCKED re-read + apply only the recorded deletions:
             # committing the snapshot taken at prune start would clobber
             # any entry a concurrent write() committed during the (slow)
             # mtime walks above — the quiet-window guard protects the
-            # rmtree, but only this re-read protects the manifest swap.
-            m = self._manifest()
-            for stage in removed["stages"]:
-                # a vanished-dir entry may have been re-created and
-                # re-committed meanwhile — only drop it if still dirless
-                if not os.path.isdir(os.path.join(self.root, stage)):
-                    m["stages"].pop(stage, None)
-            self._commit_manifest(m)
+            # rmtree; the lock + re-read protect the manifest swap.
+            with self._manifest_lock():
+                m = self._manifest()
+                for stage in removed["stages"]:
+                    # a vanished-dir entry may have been re-created and
+                    # re-committed meanwhile — only drop it if still
+                    # dirless
+                    if not os.path.isdir(os.path.join(self.root, stage)):
+                        m["stages"].pop(stage, None)
+                self._commit_manifest(m)
 
         mdir = os.path.join(self.root, "_metrics")
         if os.path.isdir(mdir) and keep_last_metrics >= 0:
@@ -256,6 +289,9 @@ class StageStore:
                 for fn in sorted(files)[
                     : max(0, len(files) - keep_last_metrics)
                 ]:
-                    os.remove(os.path.join(mdir, fn))
-                    removed["metrics"].append(fn)
+                    # a concurrent prune may have removed it first —
+                    # same tolerance as the rmtree/mtime paths
+                    with suppress(FileNotFoundError):
+                        os.remove(os.path.join(mdir, fn))
+                        removed["metrics"].append(fn)
         return removed

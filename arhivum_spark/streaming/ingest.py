@@ -10,12 +10,13 @@ first-occurrence-wins) and its batch-then-upload resumable micro-batching
   `Set<String> knownHashes` probe. State is bounded by the watermark (the
   reference's registry grows without bound; at 10^12 scale the watermark IS
   the design fix).
-- `ingest_stream`: foreachBatch appending each micro-batch to a StageStore
-  stage table with the batch id as the stage ordinal — Iceberg/parquet
-  snapshot per micro-batch, idempotent on replay (Structured Streaming
-  re-runs a failed batch with the same batch_id; the overwrite-by-batch-dir
-  commit makes the replay a no-op, matching the reference's re-upload
-  idempotency).
+- `ingest_stream`: foreachBatch writing each micro-batch as its own bare
+  parquet snapshot directory (``batch-<id>/`` — NOT a StageStore stage:
+  no manifest or _metrics involvement; on a real cluster this is an
+  Iceberg append per batch). Idempotent on replay purely through the
+  overwrite-by-batch-dir commit: Structured Streaming re-runs a failed
+  batch with the same batch_id and the rewrite commits identical bytes,
+  matching the reference's re-upload idempotency.
 
 - `flag_duplicates_stateful`: the custom-stateful-operator form
   (`applyInPandasWithState`): unlike the drop variant, EVERY row is
@@ -66,12 +67,22 @@ def flag_duplicates_stateful(
     production deployment adds a timeout to bound it the way the batch
     path's watermark does.
 
+    OUTPUT PROJECTION (contract): the emitted rows carry ONLY
+    (hash_col, id_col, is_duplicate, representative_id, seen_before) —
+    payload columns are not passed through the state operator; callers
+    wanting annotated full rows join the output back on id_col.
+
     order_within_batch=True sorts each key's rows by `id_col` before
     flagging — "first" then means min-id-first within a micro-batch (and
     exactly the batch W1 window semantics when the whole input arrives in
     one availableNow batch), making the output deterministic under any
     partitioning; the default keeps raw arrival order (the reference's
     OutputService semantics, where arrival order IS the contract).
+    Memory: the default path streams Arrow chunks one at a time; the
+    ordered path must see every id of the key's batch before flagging,
+    so it buffers the ID COLUMN ONLY — O(rows x id width) per hot key,
+    never whole rows (a million-row boilerplate key buffers ids, not
+    payloads).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -93,8 +104,16 @@ def flag_duplicates_stateful(
 
         (first_id, n_seen) = state.get if state.exists else (None, 0)
         if order_within_batch:
-            merged = pd.concat(list(pdfs), ignore_index=True)
-            pdfs = iter([merged.sort_values(id_col)])
+            # buffer ONLY the id column (the loop below reads nothing
+            # else) — concat'ing whole chunks would hold every payload
+            # byte of a hot key in memory at once
+            id_parts = [p[id_col].to_numpy() for p in pdfs]
+            ids = (
+                np.sort(np.concatenate(id_parts))
+                if id_parts
+                else np.empty(0)
+            )
+            pdfs = iter([pd.DataFrame({id_col: ids})])
         for pdf in pdfs:
             n = len(pdf)
             if n == 0:
@@ -160,16 +179,19 @@ def windowed_rates(
     ts_col: str = "event_time",
     watermark: str = "10 minutes",
     window: str = "5 minutes",
+    hash_col: str = "content_sha256",
 ) -> DataFrame:
     """Late-data-tolerant tumbling-window ingestion metrics — the streaming
     version of the scanner's progress/summary counters
-    (OutputService.java:146-173)."""
+    (OutputService.java:146-173). ``hash_col`` names the content-key
+    column (parameterized like dedup_stream's key_col — a stream keyed
+    differently must not fail analysis)."""
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"))
         .agg(
             F.count("*").alias("rows"),
-            F.approx_count_distinct("content_sha256").alias("distinct_hashes"),
+            F.approx_count_distinct(hash_col).alias("distinct_hashes"),
         )
         .select(
             F.col("win.start").alias("window_start"),

@@ -18,6 +18,7 @@
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -509,28 +510,34 @@ def test_prune_does_not_clobber_concurrent_commit(spark, tmp_path):
     # deletion to record — the manifest-commit path must still run
     os.makedirs(os.path.join(root, "s_dead", "data"))
 
-    real_is_committed = StageStore.is_committed
+    # injection point: prune's rmtree of the abandoned root — it fires
+    # AFTER the manifest snapshot and walks, BEFORE the locked manifest
+    # commit (the exact window the re-read protects). (The old hook,
+    # per-entry is_committed, is no longer called by prune.)
+    from arhivum_spark.sources import checkpoints as cp
+
+    real_rmtree = cp.shutil.rmtree
     state = {"fired": False}
 
-    def racing_is_committed(self, stage):
+    def racing_rmtree(path, **kw):
         if not state["fired"]:
             state["fired"] = True
             # the concurrent writer: full commit protocol for a NEW stage
             d = os.path.join(root, "s_concurrent", "data")
             os.makedirs(d)
             open(os.path.join(d, "_SUCCESS"), "w").close()
-            m = self._manifest()
+            m = store._manifest()
             m["stages"]["s_concurrent"] = {
                 "committed_at": "now", "write_seconds": 0.0,
             }
-            self._commit_manifest(m)
-        return real_is_committed(self, stage)
+            store._commit_manifest(m)
+        return real_rmtree(path, **kw)
 
-    StageStore.is_committed = racing_is_committed
+    cp.shutil.rmtree = racing_rmtree
     try:
         removed = store.prune(min_age_seconds=0)
     finally:
-        StageStore.is_committed = real_is_committed
+        cp.shutil.rmtree = real_rmtree
 
     assert "s_dead" in removed["stages"]
     with open(os.path.join(root, "manifest.json")) as f:
@@ -553,19 +560,25 @@ def test_prune_survives_root_vanishing_mid_walk(spark, tmp_path):
     store.write("s_live", spark.range(5))
     os.makedirs(os.path.join(root, "s_ghost", "data"))
 
-    real_is_committed = StageStore.is_committed
+    # injection point: the first os.stat of the ghost root inside the
+    # quiet-window walk — the dir existed at listdir time, vanishes
+    # before its mtime check. (The old hook, per-entry is_committed, is
+    # no longer called by prune.)
+    real_stat = os.stat
+    state = {"fired": False}
 
-    def vanishing_is_committed(self, stage):
-        if stage == "s_ghost":
+    def vanishing_stat(path, *a, **kw):
+        if not state["fired"] and str(path).endswith("s_ghost"):
+            state["fired"] = True
             shutil.rmtree(os.path.join(root, "s_ghost"))
-            return False
-        return real_is_committed(self, stage)
+            raise FileNotFoundError(path)
+        return real_stat(path, *a, **kw)
 
-    StageStore.is_committed = vanishing_is_committed
+    os.stat = vanishing_stat
     try:
         removed = store.prune(min_age_seconds=0)  # must not raise
     finally:
-        StageStore.is_committed = real_is_committed
+        os.stat = real_stat
     assert "s_ghost" not in removed["stages"]
     assert store.is_committed("s_live")
 
@@ -902,3 +915,96 @@ def test_cc_fallback_stats_report_star_rounds(spark):
     # rounds must describe the star pass that produced the result, not
     # the abandoned 1-round propagation
     assert stats["rounds"] > 1
+
+
+# ---------------------------------------------------------------------------
+# checkpoints / streaming review fixes
+
+
+def test_manifest_lock_is_exclusive(spark, tmp_path):
+    import fcntl
+
+    from arhivum_spark.sources.checkpoints import StageStore
+
+    store = StageStore(spark, str(tmp_path / "store"))
+    with store._manifest_lock():
+        lockp = store._manifest_path + ".lock"
+        assert os.path.exists(lockp)
+        with open(lockp, "w") as other:
+            import pytest as _pytest
+
+            with _pytest.raises(BlockingIOError):
+                fcntl.flock(other, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    # released on exit
+    with open(store._manifest_path + ".lock", "w") as other:
+        fcntl.flock(other, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        fcntl.flock(other, fcntl.LOCK_UN)
+
+
+def test_prune_quiet_check_sees_file_mtimes(spark, tmp_path):
+    """A live write streaming into already-created part files changes no
+    directory entries; the quiet-window check must stat files too, or an
+    in-progress stage gets reaped as abandoned."""
+    import time as _time
+
+    from arhivum_spark.sources.checkpoints import StageStore
+
+    root = tmp_path / "store"
+    store = StageStore(spark, str(root))
+    stage = root / "s9_live" / "data" / "_temporary"
+    stage.mkdir(parents=True)
+    part = stage / "part-00000"
+    part.write_bytes(b"streaming...")
+    # age every DIRECTORY far past the window; keep the FILE fresh
+    old = _time.time() - 10_000
+    for d in (
+        root, root / "s9_live", root / "s9_live" / "data", stage
+    ):
+        os.utime(d, (old, old))
+    removed = store.prune(min_age_seconds=3600)
+    assert removed["stages"] == []  # fresh part file means NOT quiet
+    assert part.exists()
+
+
+def test_prune_metrics_tolerates_concurrent_removal(
+    spark, tmp_path, monkeypatch
+):
+    from arhivum_spark.sources import checkpoints as cp
+
+    store = cp.StageStore(spark, str(tmp_path / "store"))
+    mdir = tmp_path / "store" / "_metrics"
+    mdir.mkdir(parents=True)
+    for ms in (1, 2, 3):
+        (mdir / f"s1-{ms}.parquet").write_bytes(b"x")
+
+    real_remove = os.remove
+
+    def racing_remove(path):
+        real_remove(path)  # the "other" prune got there first ...
+        raise FileNotFoundError(path)  # ... so ours sees ENOENT
+
+    monkeypatch.setattr(cp.os, "remove", racing_remove)
+    removed = store.prune(keep_last_metrics=1, min_age_seconds=0)
+    # no crash; the files ARE gone (removed by the racing peer), and we
+    # honestly claim none as our own
+    assert removed["metrics"] == []
+    assert sorted(f.name for f in mdir.iterdir()) == ["s1-3.parquet"]
+
+
+def test_windowed_rates_hash_col_param(spark):
+    from arhivum_spark.streaming.ingest import windowed_rates
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:10", "h1"),
+            ("2024-01-01 00:00:20", "h1"),
+            ("2024-01-01 00:06:00", "h2"),
+        ],
+        "event_time string, sha string",
+    ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+    rows = windowed_rates(df, hash_col="sha").collect()
+    got = {str(r.window_start): (r.rows, r.distinct_hashes) for r in rows}
+    assert got == {
+        "2024-01-01 00:00:00": (2, 1),
+        "2024-01-01 00:05:00": (1, 1),
+    }
