@@ -115,6 +115,11 @@ class DedupConfig:
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:
             raise ValueError("num_perm must equal bands * rows_per_band")
+        if self.block < 2 or self.block % 2 != 0:
+            # block_shingles packs the four (block/2)^2 quadrant means;
+            # an odd block would fail the quadrant reshape inside the
+            # signature mapInPandas stage instead of here
+            raise ValueError(f"block must be even and >= 2, got {self.block}")
         if not (0 <= self.simhash_max_hamming <= 63):
             # pigeonhole blocking splits 64 bits into max_hamming+1
             # chunks; >= 64 gives zero-width chunks (an all-pairs join)

@@ -7,11 +7,15 @@ the shingle sets (docs/shared/CODE_DETECTION.md:216-256 documents the true
 Jaccard this estimates), so near-duplicate images survive re-encoding and
 small pixel perturbations.
 
-Shingling: grayscale -> block x block tiles -> per-tile mean quantized by
-gray_qstep -> shingle id = (tile_index << 8) | quantized_level. Position is
+Shingling: grayscale -> block x block tiles -> the four quadrant means of
+each tile quantized by gray_qstep (default 32) -> shingle id =
+(tile_index << 32) | (4 quantized levels packed 8 bits each). Position is
 part of the shingle so Jaccard == fraction of unchanged tiles; the coarse
-quantization absorbs lossy-codec noise (step q=8 shifts a 64-pixel tile mean
-by sigma ~0.3, far below gray_qstep=16).
+quantization absorbs lossy-codec noise, and the four-level packing keeps
+random-pair collisions ~p^4 (see block_shingles). Images smaller than one
+block get content-dependent per-pixel shingles in a disjoint marker space
+— never a shared constant (two different tiny images must not hash
+identical).
 
 All kernels are vectorized numpy; Spark-side use is via mapInPandas in
 functions/signatures.py (no per-row Python at the DataFrame level).
@@ -72,13 +76,25 @@ def block_shingles(pixels: np.ndarray, block: int = 8, qstep: int = 32) -> np.nd
     Tiles that don't fill a full block (ragged edges) are dropped — at the
     target scale images are >> block size, and signature config is pinned so
     both sides of any comparison drop the same tiles.
+
+    Images smaller than one block in either dimension have no tiles;
+    falling back to a shared sentinel would give EVERY sub-block image an
+    identical signature (Jaccard 1.0 between a 4x4 black and a 4x4 white
+    image — a false merge). Instead they shingle per PIXEL in a disjoint
+    marker space (bit 62 set): shingle = marker | (pixel_index << 8) |
+    quantized_level. A zero-pixel image gets its own distinct sentinel
+    (bit 61) — minhash_batch requires a non-empty set.
     """
     gray = to_gray(pixels) if pixels.ndim == 3 else pixels
     h, w = gray.shape
     half = block // 2
     th, tw = h // block, w // block
     if th == 0 or tw == 0:
-        return np.array([0], dtype=np.int64)
+        if gray.size == 0:
+            return np.array([np.int64(1) << 61], dtype=np.int64)
+        lv = np.minimum(gray / qstep, 255).astype(np.int64).reshape(-1)
+        pos = np.arange(lv.size, dtype=np.int64)
+        return np.unique((np.int64(1) << 62) | (pos << 8) | lv)
     quads = gray[: th * block, : tw * block].reshape(th, 2, half, tw, 2, half)
     qmeans = quads.mean(axis=(2, 5))  # (th, 2, tw, 2)
     levels = np.minimum(qmeans / qstep, 255).astype(np.int64)
@@ -93,7 +109,8 @@ def block_shingles(pixels: np.ndarray, block: int = 8, qstep: int = 32) -> np.nd
 
 
 def minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(m,) shingles x (k,) coefficients -> (k,) int64 signature."""
+    """(m,) shingles x (k,) coefficients -> (k,) int32 signature (31-bit
+    hash space — see minhash_batch's int32 note)."""
     return minhash_batch([shingles], a, b)[0]
 
 

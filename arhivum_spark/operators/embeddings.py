@@ -34,6 +34,56 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _round_half_up6(x):
+    """Round to 6 decimals HALF-UP (away from zero) — the rule Spark's
+    F.round and DuckDB's round() use. np.round is half-to-EVEN, so a
+    kernel using it diverges from the exact-oracle paths at 6th-decimal
+    ties (e.g. cosine 0.1015625 -> 0.101562 vs 0.101563), breaking the
+    documented same-output contract at threshold boundaries."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _probe_dim(df: DataFrame, vec_col: str):
+    """Length of the first non-null embedding, or None when the corpus
+    has no non-null vectors — callers return an empty typed frame
+    instead of crashing on `None[0]`. EAGER (runs one Spark job)."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    )
+    return None if row is None else len(row[0])
+
+
+def _rhp_capped_buckets(
+    df: DataFrame,
+    nbits: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    max_bucket_members: int,
+    payload: bool,
+):
+    """Shared preamble of every rhp_* operator: dim probe, with_norm
+    base, multi-table bucketing, cap valve. Returns (capped, id_type) —
+    capped is None for an empty/all-null corpus. payload=True re-joins
+    (vecd, norm) onto the capped bucket rows for in-bucket verification.
+    EAGER (dim probe + _cap_buckets' max-bucket probe)."""
+    id_type = dict(df.dtypes)[id_col]
+    dim = _probe_dim(df, vec_col)
+    if dim is None:
+        return None, id_type
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("_cid"), "vecd", "norm"
+    )
+    bucketed = rhp_table_buckets(
+        base.select("_cid", "vecd"), dim, nbits, n_tables, seed
+    )
+    capped = _cap_buckets(bucketed, max_bucket_members)
+    if payload:
+        capped = capped.join(base, "_cid")
+    return capped, id_type
+
+
 def cosine_topk(
     df: DataFrame,
     query_ids: DataFrame,
@@ -53,7 +103,13 @@ def cosine_topk(
         F.col(id_col).alias("_cid"), "vecd", "norm"
     )
     q = (
-        base.join(query_ids.select(F.col(id_col).alias("_cid")), "_cid")
+        # dropDuplicates: a repeated query id would duplicate every
+        # candidate row and corrupt the row_number rank sequence (the
+        # approximate paths are shielded by their own dedup)
+        base.join(
+            query_ids.select(F.col(id_col).alias("_cid")).dropDuplicates(),
+            "_cid",
+        )
         .select(
             F.col("_cid").alias("query_id"),
             F.col("vecd").alias("qvec"),
@@ -229,10 +285,14 @@ def rhp_bucket_candidates(
     _cap_buckets' max-bucket-size probe, which materializes the full
     signature/bucketing pass) — do not build it speculatively.
     """
-    dim = len(df.select(vec_col).first()[0])
-    base = with_norm(df, vec_col).select(F.col(id_col).alias("_cid"), "vecd")
-    bucketed = rhp_table_buckets(base, dim, nbits, n_tables, seed)
-    capped = _cap_buckets(bucketed, max_bucket_members)
+    capped, id_type = _rhp_capped_buckets(
+        df, nbits, n_tables, seed, id_col, vec_col, max_bucket_members,
+        payload=False,
+    )
+    if capped is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}"
+        )
     a = capped.select("table", "bucket", F.col("_cid").alias("id_a"))
     b = capped.select("table", "bucket", F.col("_cid").alias("id_b"))
     return (
@@ -274,17 +334,14 @@ def rhp_neardup_pairs(
     EAGER: constructing this plan runs Spark jobs (dim probe +
     _cap_buckets' max-bucket probe materializing the signature pass).
     """
-    import pandas as pd
-
-    dim = len(df.select(vec_col).first()[0])
-    id_type = dict(df.dtypes)[id_col]
-    base = with_norm(df, vec_col).select(
-        F.col(id_col).alias("_cid"), "vecd", "norm"
+    capped, id_type = _rhp_capped_buckets(
+        df, nbits, n_tables, seed, id_col, vec_col, max_bucket_members,
+        payload=True,
     )
-    bucketed = rhp_table_buckets(
-        base.select("_cid", "vecd"), dim, nbits, n_tables, seed
-    )
-    capped = _cap_buckets(bucketed, max_bucket_members).join(base, "_cid")
+    if capped is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["_cid"].to_numpy()
@@ -301,14 +358,14 @@ def rhp_neardup_pairs(
             block = np.einsum("id,jd->ij", x[i0:i1], x) / np.outer(
                 nrm[i0:i1], nrm
             )
-            bi, bj = np.nonzero(np.round(block, 6) >= threshold)
+            bi, bj = np.nonzero(_round_half_up6(block) >= threshold)
             keep = (bi + i0) < bj  # upper triangle only, no self-pairs
             bi, bj = bi[keep], bj[keep]
             ia, ib = ids[bi + i0], ids[bj]
             swap = ia > ib
             out_a.append(np.where(swap, ib, ia))
             out_b.append(np.where(swap, ia, ib))
-            out_c.append(np.round(block[bi, bj], 6))
+            out_c.append(_round_half_up6(block[bi, bj]))
         if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         return pd.DataFrame(
@@ -353,25 +410,22 @@ def rhp_star_neardup_edges(
     EAGER: constructing this plan runs Spark jobs (dim probe +
     _cap_buckets' max-bucket probe materializing the signature pass).
     """
-    import pandas as pd
-
-    dim = len(df.select(vec_col).first()[0])
-    id_type = dict(df.dtypes)[id_col]
-    base = with_norm(df, vec_col).select(
-        F.col(id_col).alias("_cid"), "vecd", "norm"
+    capped, id_type = _rhp_capped_buckets(
+        df, nbits, n_tables, seed, id_col, vec_col, max_bucket_members,
+        payload=True,
     )
-    bucketed = rhp_table_buckets(
-        base.select("_cid", "vecd"), dim, nbits, n_tables, seed
-    )
-    capped = _cap_buckets(bucketed, max_bucket_members).join(base, "_cid")
+    if capped is None:
+        return df.sparkSession.createDataFrame(
+            [], f"src {id_type}, dst {id_type}, cosine double"
+        )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf["_cid"].to_numpy().argsort(kind="stable")
         ids = pdf["_cid"].to_numpy()[order]
         x = np.array(pdf["vecd"].tolist(), dtype=np.float64)[order]
         nrm = pdf["norm"].to_numpy(dtype=np.float64)[order]
-        cos = np.round(
-            np.einsum("d,jd->j", x[0], x[1:]) / (nrm[0] * nrm[1:]), 6
+        cos = _round_half_up6(
+            np.einsum("d,jd->j", x[0], x[1:]) / (nrm[0] * nrm[1:])
         )
         keep = cos >= threshold
         return pd.DataFrame(
@@ -454,7 +508,14 @@ def rhp_ann_topk(
     EAGER: constructing this plan runs Spark jobs (dim probe +
     _cap_buckets' max-bucket probe materializing the signature pass).
     """
-    dim = len(df.select(vec_col).first()[0])
+    dim = _probe_dim(df, vec_col)
+    if dim is None:
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [],
+            f"query_id {id_type}, neighbor_id {id_type}, "
+            "cosine double, rank int",
+        )
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("_cid"), "vecd", "norm"
     )
@@ -633,7 +694,12 @@ def ivf_probe_topk(
     )
     cents = np.array([list(r[0]) for r in init], dtype=np.float64)
     cents = _lloyd_refine(base.select("vecd"), cents, n_iters)
-    celled = base.withColumn("cell", _assign_udf(cents)("vecd"))
+    # three consumers (qrows collect, query projection, candidate side)
+    # — pin once or the with_norm scan + pandas-UDF centroid assignment
+    # over the full corpus runs three times
+    celled = base.withColumn(
+        "cell", _assign_udf(cents)("vecd")
+    ).localCheckpoint(eager=False)
     # probe cells per query: query set is small by contract -> driver-side
     # argsort against the k x d centroid matrix, broadcast back as a frame
     qrows = (

@@ -1008,3 +1008,79 @@ def test_windowed_rates_hash_col_param(spark):
         "2024-01-01 00:00:00": (2, 1),
         "2024-01-01 00:05:00": (1, 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# embeddings / minhash review fixes
+
+
+def test_block_shingles_subblock_images_are_content_dependent():
+    import numpy as np
+
+    from arhivum_spark.functions.minhash import block_shingles, minhash_batch, permutations
+
+    black = np.zeros((4, 4), dtype=np.float32)
+    white = np.full((4, 4), 255.0, dtype=np.float32)
+    s_black = block_shingles(black, block=8)
+    s_white = block_shingles(white, block=8)
+    # two different sub-block images must NOT share a shingle set
+    assert set(s_black) != set(s_white)
+    a, b = permutations(8, 42)
+    sig = minhash_batch([s_black, s_white], a, b)
+    assert (sig[0] != sig[1]).any()
+    # the marker space is disjoint from tile shingles
+    full = block_shingles(np.zeros((16, 16), dtype=np.float32), block=8)
+    assert set(s_black).isdisjoint(set(full))
+    # zero-pixel image: distinct non-empty sentinel
+    empty = block_shingles(np.zeros((0, 0), dtype=np.float32), block=8)
+    assert len(empty) == 1 and set(empty).isdisjoint(set(s_black))
+
+
+def test_config_rejects_odd_block():
+    with pytest.raises(ValueError, match="block"):
+        DedupConfig(block=7)
+
+
+def test_rhp_ops_empty_corpus(spark):
+    from arhivum_spark.operators.embeddings import (
+        rhp_ann_topk,
+        rhp_bucket_candidates,
+        rhp_neardup_pairs,
+        rhp_star_neardup_edges,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert rhp_bucket_candidates(empty).count() == 0
+    assert rhp_neardup_pairs(empty).count() == 0
+    assert rhp_star_neardup_edges(empty).count() == 0
+    q = spark.createDataFrame([], "vec_id long")
+    assert rhp_ann_topk(empty, q).count() == 0
+
+
+def test_cosine_topk_duplicate_query_ids(spark):
+    from arhivum_spark.operators.embeddings import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(1,), (1,)], "vec_id long")  # repeated id
+    rows = cosine_topk(df, q, k=2).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)]
+    # each neighbor exactly once, ranks 1..2 — no duplicated candidates
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_blocked_kernel_rounds_half_up_like_oracle():
+    """np.round is half-to-even; Spark/DuckDB round half-up (away from
+    zero). The kernel helper must match the oracle rule at exact ties."""
+    import numpy as np
+
+    from arhivum_spark.operators.embeddings import _round_half_up6
+
+    x = np.array([0.1015625, -0.1015625, 0.9999995])
+    assert list(_round_half_up6(x)) == [0.101563, -0.101563, 1.0]
+    # np.round would give 0.101562 (half-even) — the desync this guards
+    assert np.round(x[0], 6) != 0.101563
