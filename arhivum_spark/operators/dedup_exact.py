@@ -101,10 +101,19 @@ def best_copy(
     """Elect one representative per hash group by a priority order (J5/W2).
 
     Default priority mirrors docs/shared/DEDUPLICATION.md:44-55 adapted to
-    available columns: earliest modified, then shortest path, then id — the
-    caller passes the exact priority for its schema.
+    available columns: earliest modified, then shortest path, then id (the
+    latter two only when those columns exist) — the caller passes the
+    exact priority for its schema. A bare modified_at is not a total
+    order: ties would elect a shuffle-dependent representative.
     """
-    order = priority if priority is not None else [F.col("modified_at").asc()]
+    if priority is not None:
+        order = priority
+    else:
+        order = [F.col("modified_at").asc()]
+        if "path" in df.columns:
+            order += [F.length("path").asc(), F.col("path").asc()]
+        if "id" in df.columns:
+            order.append(F.col("id").asc())
     w = Window.partitionBy(hash_col).orderBy(*order)
     return (
         df.withColumn("_rank", F.row_number().over(w))
@@ -119,4 +128,7 @@ def anti_join_new_hashes(
     """Rows whose hash is not already known (J7: existsBySha256 as an
     anti-join; the EXIF-skip optimization's 'only new hashes get the
     expensive work' — ScanCommand.java:342-353)."""
-    return df.join(known.select(hash_col).distinct(), hash_col, "left_anti")
+    # no .distinct() on the known side: left_anti already has set
+    # semantics, and the distinct cost a full extra aggregate exchange of
+    # every known hash on the hot incremental-scan path
+    return df.join(known.select(hash_col), hash_col, "left_anti")

@@ -39,6 +39,14 @@ def detect_projects(
     """Adds `project_type`, `identifier` (first match in priority order,
     null when nothing fires) and `is_code_project` (any marker fires —
     CodeProjectDetectionService.isCodeProject)."""
+    if not detectors:
+        # empty registry = nothing fires (reference: anyMatch over an
+        # empty list is false, detectProject returns no match)
+        return (
+            folders.withColumn("project_type", F.lit(None).cast("string"))
+            .withColumn("identifier", F.lit(None).cast("string"))
+            .withColumn("is_code_project", F.lit(False))
+        )
     ordered = sorted(
         enumerate(detectors), key=lambda t: (-t[1].priority, t[0])
     )
@@ -105,11 +113,14 @@ def reference_detectors(
             F.concat_ws(":", meta["crate"], meta["version"]),
         ),
         Detector(
+            # concat_ws, not concat: a null remote/branch must drop out
+            # (matching DuckDB concat's ignore-NULL oracle semantics and
+            # the other detectors' concat_ws), not null the identifier
             "GIT", 5, has["git"],
-            F.concat(meta["remote"], F.lit("@"), meta["branch"]),
+            F.concat_ws("", meta["remote"], F.lit("@"), meta["branch"]),
         ),
         Detector(
             "GENERIC", 0, has["src"],
-            F.concat(F.lit("unknown:"), meta["folder_name"]),
+            F.concat_ws("", F.lit("unknown:"), meta["folder_name"]),
         ),
     ]

@@ -27,6 +27,14 @@ def global_row_number(
     `order_col` get an arbitrary but deterministic-per-layout order —
     pass a unique key for full determinism.
     """
+    clash = {"_rn", "_pid", "_lrn", "_off"} & set(df.columns)
+    if clash:
+        # withColumn would silently OVERWRITE the caller's data with the
+        # internal rank/offset columns
+        raise ValueError(
+            f"global_row_number: input already has reserved column(s) "
+            f"{sorted(clash)}; rename them first"
+        )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # PIN the range-partitioned layout before counting: RangePartitioner
     # samples with a per-job seed, so re-executing the lineage for the

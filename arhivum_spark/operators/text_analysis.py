@@ -41,8 +41,12 @@ def _tokens(text_col: str) -> Column:
     # no empty tokens. Keeps "n-gram similarity" (here) and "substring
     # containment" / MinHash kernels (dedup_text) agreeing on what a
     # token is for any caption containing tabs/newlines.
+    # null-safe: a null text has zero tokens (size(split(NULL)) is -1
+    # under legacy sizeOfNull — every ratio/argmax downstream would
+    # silently misbehave on null rows otherwise)
     return F.filter(
-        F.split(F.col(text_col), "[ \t\n\x0b\f\r]+"), lambda t: t != ""
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \t\n\x0b\f\r]+"),
+        lambda t: t != "",
     )
 
 
@@ -78,7 +82,7 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality-scoring features (Gopher/C4-style cheap filters):
     token count, mean token length, punctuation ratio, digit ratio,
-    stopword ratio, max single-token frequency share (repetition signal).
+    stopword ratio.
     """
     toks = _tokens(text_col)
     n_tok = F.size(toks)
@@ -142,7 +146,7 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     The regex count is a deterministic proxy for tokenizer cost — the number
     of letter-runs / digit-runs / punctuation marks in the lowercased text.
     """
-    lowered = F.lower(F.col(text_col))
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     return df.withColumn("ws_tokens", F.size(_tokens(text_col))).withColumn(
         "bpeish_tokens",
         F.size(F.regexp_extract_all(lowered, F.lit(TOKEN_PATTERN), 0)),
@@ -156,7 +160,16 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (HashService.java:58-109): md5 over the canonical form, so trivially
     re-formatted copies collide (the exact-dedup key for documents).
     """
-    canon = F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " ")
+    # normalize the full six-separator whitespace class (the module
+    # contract), not just spaces: a line-wrapped copy ('foo\nbar') must
+    # collide with 'foo bar' — the docstring's exact claim
+    canon = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            "[ \t\n\x0b\f\r]+",
+            " ",
+        )
+    )
     return df.withColumn("fingerprint", F.md5(canon))
 
 

@@ -44,8 +44,14 @@ def resolve_zones(
     path VALUE: two input rows sharing a path (the same file seen from two
     scans) must each keep their own output row, and a null/empty path must
     survive with zone = null (explode_outer) rather than vanish.
+
+    ``sep`` is a LITERAL separator (quoted for the split's regex): '.'
+    splits on dots, '\\' on backslashes — not on regex metacharacters.
     """
-    parts = F.split(F.col(path_col), sep)
+    # F.split takes a regex but concat_ws a literal — quote the separator
+    # so both agree for any sep (an unquoted '.' split on EVERY char and
+    # no prefix ever matched)
+    parts = F.split(F.col(path_col), "\\Q" + sep + "\\E")
     prefixes = F.transform(
         F.sequence(F.lit(1), F.size(parts)),
         lambda i: F.concat_ws(sep, F.slice(parts, 1, i)),
@@ -95,13 +101,19 @@ def group_dedup_gate(
     what was skipped; returns only rows of groups where no member blocks.
     """
     blocks = ~F.col(zone_col).isin(*DEDUP_ZONES) | F.col(zone_col).isNull()
+    # a null hash is its own singleton group (null != null in the join
+    # key): such rows must be gated on their OWN zone, not silently
+    # dropped by the inner join below
+    null_rows = df.filter(F.col(hash_col).isNull()).filter(~blocks)
+    keyed = df.filter(F.col(hash_col).isNotNull())
     flags = (
-        df.withColumn("_blocks", blocks)
+        keyed.withColumn("_blocks", blocks)
         .groupBy(hash_col)
         .agg(F.max("_blocks").alias("group_blocked"))
     )
     return (
-        df.join(flags, hash_col)
+        keyed.join(flags, hash_col)
         .filter(~F.col("group_blocked"))
         .drop("group_blocked")
+        .unionByName(null_rows)
     )

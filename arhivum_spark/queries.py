@@ -717,7 +717,9 @@ _ALL_SW = ", ".join(
 )
 
 SQL_TXT_LANG_QUALITY = f"""
-WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks
+           FROM (SELECT doc_id, coalesce(text, '') AS text
+                 FROM documents)),
 s AS (
   SELECT doc_id, text, toks,
     len(list_filter(toks, x -> list_contains([{_SW['de']}], x))) AS score_de,
@@ -760,8 +762,10 @@ SQL_TXT_TOKENS_FINGERPRINT = f"""
 SELECT doc_id,
   len({_TOKS_SQL}) AS ws_tokens,
   len(regexp_extract_all(lower(text), '{text_analysis.TOKEN_PATTERN}')) AS bpeish_tokens,
-  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
-FROM documents
+  -- fingerprint canon: full six-separator whitespace class collapsed,
+  -- matching text_analysis.fingerprint (not just spaces)
+  md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint
+FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 """
 
 

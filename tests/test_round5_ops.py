@@ -1084,3 +1084,125 @@ def test_blocked_kernel_rounds_half_up_like_oracle():
     assert list(_round_half_up6(x)) == [0.101563, -0.101563, 1.0]
     # np.round would give 0.101562 (half-even) — the desync this guards
     assert np.round(x[0], 6) != 0.101563
+
+
+# ---------------------------------------------------------------------------
+# zones / detectors / text_analysis / dedup_exact / ordering review fixes
+
+
+def test_resolve_zones_literal_separator(spark):
+    from arhivum_spark.operators.zones import resolve_zones
+
+    df = spark.createDataFrame(
+        [(1, "src.src0.zh.doc-1")], "doc_id long, path string"
+    )
+    zt = spark.createDataFrame(
+        [("src.src0", "MEDIA"), ("src.src0.zh", "BACKUP")],
+        ["folder_path", "zone"],
+    )
+    rows = resolve_zones(df, zt, "path", sep=".").collect()
+    # an unquoted '.' regex split every char and nothing ever matched
+    assert rows[0]["zone"] == "BACKUP" and rows[0]["is_inherited"]
+
+
+def test_group_dedup_gate_null_hash_rows(spark):
+    from arhivum_spark.operators.zones import group_dedup_gate
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "MEDIA"),    # null hash, eligible zone -> kept
+            (2, None, "CODE"),     # null hash, blocking zone -> gated out
+            (3, "h1", "MEDIA"),    # clean group -> kept
+            (4, "h2", "MEDIA"),    # mixed group (5 blocks) -> gated out
+            (5, "h2", "CODE"),
+        ],
+        "doc_id long, sha string, zone string",
+    )
+    got = {r.doc_id for r in group_dedup_gate(df, "sha").collect()}
+    assert got == {1, 3}
+
+
+def test_detect_projects_empty_registry(spark):
+    from arhivum_spark.operators.detectors import detect_projects
+
+    df = spark.createDataFrame([(1,)], "folder_id long")
+    rows = detect_projects(df, []).collect()
+    assert rows[0]["project_type"] is None
+    assert rows[0]["identifier"] is None
+    assert rows[0]["is_code_project"] is False
+
+
+def test_git_identifier_null_branch_matches_oracle_concat(spark):
+    from arhivum_spark.operators.detectors import (
+        detect_projects,
+        reference_detectors,
+    )
+
+    df = spark.createDataFrame(
+        [("r1", None, True)], "remote string, branch string, git boolean"
+    )
+    has = {k: F.lit(False) for k in
+           ("pom", "gradle", "package_json", "go_mod", "python", "cargo", "src")}
+    has["git"] = F.col("git")
+    meta = {k: F.lit(None).cast("string") for k in
+            ("group_id", "artifact", "version", "npm_name", "module_path",
+             "py_name", "crate", "folder_name")}
+    meta["remote"] = F.col("remote")
+    meta["branch"] = F.col("branch")
+    rows = detect_projects(df, reference_detectors(has, meta)).collect()
+    # DuckDB concat ignores NULL -> 'r1@'; F.concat would have nulled it
+    assert rows[0]["identifier"] == "r1@"
+
+
+def test_text_ops_null_text(spark):
+    import hashlib
+
+    from arhivum_spark.operators.text_analysis import (
+        fingerprint,
+        lang_scores,
+        quality_features,
+        token_counts,
+    )
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = lang_scores(df).collect()[0]
+    assert r["lang_pred"] == "und" and r["score_en"] == 0
+    r = quality_features(df).collect()[0]
+    assert r["n_tokens"] == 0 and r["stopword_ratio"] == 0.0
+    r = token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 0 and r["bpeish_tokens"] == 0
+    r = fingerprint(df).collect()[0]
+    assert r["fingerprint"] == hashlib.md5(b"").hexdigest()
+
+
+def test_fingerprint_collapses_all_whitespace_classes(spark):
+    from arhivum_spark.operators.text_analysis import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "foo bar"), (2, "foo\nbar"), (3, "\tfoo \t bar ")],
+        "doc_id long, text string",
+    )
+    fps = {r["fingerprint"] for r in fingerprint(df).collect()}
+    assert len(fps) == 1  # line-wrapped / tabbed copies collide
+
+
+def test_best_copy_deterministic_tiebreak(spark):
+    from arhivum_spark.operators.dedup_exact import best_copy
+
+    df = spark.createDataFrame(
+        [
+            ("h", 100, "a/very/long/path", 2),
+            ("h", 100, "short", 1),
+        ],
+        "sha256 string, modified_at long, path string, id long",
+    )
+    rows = best_copy(df).collect()
+    assert len(rows) == 1 and rows[0]["path"] == "short"
+
+
+def test_global_row_number_rejects_reserved_columns(spark):
+    from arhivum_spark.operators.ordering import global_row_number
+
+    df = spark.createDataFrame([(1, 9)], "k long, _rn long")
+    with pytest.raises(ValueError, match="_rn"):
+        global_row_number(df, "k")
