@@ -5,11 +5,21 @@ The north-rule launch shape (BASELINE.json: "run via spark-submit
 
     zip -r arhivum_spark.zip arhivum_spark
     spark-submit --master <cluster> --py-files arhivum_spark.zip \
+        --conf "spark.driver.extraJavaOptions=-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64" \
+        --conf "spark.executor.extraJavaOptions=-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64" \
         arhivum_spark/cli.py \
         --input  s3://bucket/images_table \
         --output s3://bucket/clusters \
-        --stage-dir s3://bucket/stages/run1 \
+        --stage-dir /sharedfs/stages/run1 \
         --captions-out s3://bucket/caption_pairs
+
+--input/--output/--captions-out take any Spark-readable URI (s3://,
+hdfs://, ...). --stage-dir must be a DRIVER-VISIBLE filesystem path
+(local or a shared mount): StageStore's manifest/lock/metrics live on
+the driver's filesystem; the object-store/production form of the stage
+store is an Iceberg catalog (checkpoints.py module docstring), not
+reachable from this sandbox. An s3:// stage dir is rejected with a
+clear error instead of silently writing a bogus local directory.
 
 No master/executor settings are hardcoded: spark-submit (or any cluster
 manager) owns them; running under plain `python -m arhivum_spark.cli`
@@ -89,50 +99,77 @@ def run(argv: list[str] | None = None, spark=None) -> dict:
         overrides["psnr_verify_enabled"] = False
     cfg = DedupConfig(**overrides)
 
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from arhivum_spark.session import apply_media_runtime_confs
+
+    scheme = urlparse(args.stage_dir).scheme
+    if scheme and scheme != "file":
+        raise SystemExit(
+            f"--stage-dir must be a driver-visible filesystem path, got "
+            f"'{args.stage_dir}': StageStore's manifest/lock/metrics are "
+            "local-FS (the production form is an Iceberg catalog — see "
+            "sources/checkpoints.py). Use a shared mount for multi-driver "
+            "resume."
+        )
+
     own_session = spark is None
     if own_session:
         # under spark-submit the builder inherits the submitted conf
         # (master, executors, --py-files); standalone it builds local
         spark = SparkSession.builder.appName("arhivum-image-dedup").getOrCreate()
+    # either way the session may lack the media-workload confs the test/
+    # bench builder (session.get_spark) encodes: small Arrow batches over
+    # multi-MB byte rows, vectored parquet IO off. Apply the
+    # runtime-settable ones; warn about launch-time-only JVM flags.
+    for w in apply_media_runtime_confs(spark):
+        print(f"WARNING: {w}", file=sys.stderr)
 
     t0 = time.time()
-    images = spark.read.parquet(args.input)
-    store = StageStore(spark, args.stage_dir)
-    clusters = run_pipeline(images, store, cfg)
-    clusters.write.mode("overwrite").parquet(args.output)
+    try:
+        images = spark.read.parquet(args.input)
+        store = StageStore(spark, args.stage_dir)
+        clusters = run_pipeline(images, store, cfg)
+        clusters.write.mode("overwrite").parquet(args.output)
 
-    out = spark.read.parquet(args.output)
-    n_rows = out.count()
-    n_clusters = out.select("cluster_id").distinct().count()
-    n_dups = out.filter("is_duplicate").count()
+        # one aggregate pass, not three separate scans of the output
+        out = spark.read.parquet(args.output)
+        row = out.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("cluster_id").alias("clusters"),
+            F.sum(F.col("is_duplicate").cast("long")).alias("dups"),
+        ).collect()[0]
 
-    if args.captions_out:
-        sigs = store.read("s1_signatures")
-        caption_pairs(sigs, store, cfg).write.mode("overwrite").parquet(
-            args.captions_out
-        )
+        if args.captions_out:
+            sigs = store.read("s1_signatures")
+            caption_pairs(sigs, store, cfg).write.mode("overwrite").parquet(
+                args.captions_out
+            )
 
-    mdf = store.metrics()
-    stage_secs = (
-        {
-            r["stage"]: round(r["max(write_seconds)"], 1)
-            for r in mdf.groupBy("stage")
-            .agg({"write_seconds": "max"})
-            .collect()
+        # per-stage seconds from the manifest: exactly one value per
+        # stage, the wall of the run that produced the COMMITTED
+        # snapshot (a resumed stage reports its original write time —
+        # the _metrics table would report the max over every historical
+        # generation instead)
+        stage_secs = {
+            stage: round(entry.get("write_seconds", 0.0), 1)
+            for stage, entry in sorted(store._manifest()["stages"].items())
         }
-        if mdf is not None
-        else {}
-    )
-    metrics = {
-        "rows": n_rows,
-        "clusters": n_clusters,
-        "duplicates": n_dups,
-        "wall_seconds": round(time.time() - t0, 1),
-        "stage_seconds": stage_secs,
-        "output": args.output,
-    }
-    if own_session:
-        spark.stop()
+        metrics = {
+            "rows": row["rows"],
+            "clusters": row["clusters"],
+            "duplicates": int(row["dups"] or 0),
+            "wall_seconds": round(time.time() - t0, 1),
+            "stage_seconds": stage_secs,
+            "output": args.output,
+        }
+    finally:
+        if own_session:
+            # stop on failure too — a leaked local JVM holds the
+            # multi-GB driver heap for the caller's process lifetime
+            spark.stop()
     return metrics
 
 

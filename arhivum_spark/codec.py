@@ -69,10 +69,17 @@ def decode(data: bytes) -> np.ndarray:
 
 
 def header(data: bytes) -> tuple[str, int, int]:
-    """Cheap metadata sniff without full decode: (fmt, w, h)."""
+    """Cheap metadata sniff without full decode: (fmt, w, h).
+
+    Raises ValueError on non-image magic, like ``decode`` — labeling
+    arbitrary bytes (an ARVA audio container, garbage) as 'jpeg' with
+    garbage dimensions would record false metadata downstream."""
     magic, w, h, _ = _HDR.unpack_from(data, 0)
-    fmt = "png" if magic == MAGIC_LOSSLESS else "jpeg"
-    return fmt, w, h
+    if magic == MAGIC_LOSSLESS:
+        return "png", w, h
+    if magic == MAGIC_LOSSY:
+        return "jpeg", w, h
+    raise ValueError(f"unknown codec magic: {magic!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -106,13 +113,13 @@ def encode_exif_trailer(fields: dict) -> bytes:
     return MAGIC_EXIF + struct.pack("<I", len(body)) + body
 
 
-def parse_exif_trailer(data: bytes) -> dict | None:
-    """Find + parse the EXIF trailer; None when absent (reference contract:
-    ExifExtractor returns null for EXIF-less files)."""
-    pos = data.rfind(MAGIC_EXIF)
-    if pos < 0:
-        return None
+def _parse_exif_at(data: bytes, pos: int) -> dict:
+    """Parse a trailer candidate at ``pos`` (start of magic). Raises on
+    any malformation — the caller treats that as 'not the trailer'."""
     (blen,) = struct.unpack_from("<I", data, pos + 4)
+    if pos + 8 + blen != len(data):
+        # the REAL trailer always ends the blob (encode appends it last)
+        raise ValueError("trailer does not reach end of blob")
     body = data[pos + 8 : pos + 8 + blen]
     out: dict = {}
     off = 0
@@ -121,6 +128,8 @@ def parse_exif_trailer(data: bytes) -> dict | None:
         kv = body[off + 2 : off + 2 + n].decode()
         off += 2 + n
         k, _, raw = kv.partition("=")
+        if k not in _EXIF_FIELDS:
+            raise ValueError(f"unknown EXIF field {k!r}")
         if raw[:1] in ("'", '"'):
             # repr() quoting is content-dependent (an apostrophe in the
             # value switches it to double quotes, escapes appear for
@@ -134,6 +143,27 @@ def parse_exif_trailer(data: bytes) -> dict | None:
                 # here too — the '.' sniff alone misparsed them
                 out[k] = float(raw)
     return out
+
+
+def parse_exif_trailer(data: bytes) -> dict | None:
+    """Find + parse the EXIF trailer; None when absent (reference contract:
+    ExifExtractor returns null for EXIF-less files).
+
+    A bare rfind(MAGIC) is not enough: the 4-byte magic can occur by
+    coincidence inside a field VALUE or inside compressed pixel data
+    (~len/2^32 odds per image — non-negligible at billions of rows), and
+    mis-anchoring there either crashes or yields garbage fields. The
+    real trailer is the one that (a) parses cleanly with known field
+    keys and (b) extends exactly to the end of the blob — candidates
+    are tried from the last occurrence backwards, first valid wins.
+    """
+    pos = data.rfind(MAGIC_EXIF)
+    while pos >= 0:
+        try:
+            return _parse_exif_at(data, pos)
+        except Exception:
+            pos = data.rfind(MAGIC_EXIF, 0, pos)
+    return None
 
 
 # ---------------------------------------------------------------------------

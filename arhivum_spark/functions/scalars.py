@@ -70,11 +70,14 @@ def identifier(*parts: Column | str) -> Column:
 def base_identifier(ident_col: str | Column) -> Column:
     """F9: identifier minus the trailing version segment —
     'com.example:api:1.0.0' -> 'com.example:api'. Identifiers without a
-    version separator pass through unchanged (substring_index keeps the
-    whole string when fewer separators exist)."""
+    version separator pass through unchanged."""
     c = ident_col if isinstance(ident_col, Column) else F.col(ident_col)
-    n_sep = F.size(F.split(c, ":")) - 1
-    return F.when(n_sep >= 2, F.substring_index(c, ":", 2)).otherwise(c)
+    # strip AFTER THE LAST ':' (the version segment), not "keep the first
+    # two segments": a 4-segment ident like 'com.example:api:core:1.0'
+    # must keep 'com.example:api:core', not collapse to 'com.example:api'
+    # (which would alias unrelated artifacts as same-base duplicates).
+    # No ':' -> no match -> unchanged.
+    return F.regexp_replace(c, ":[^:]*$", "")
 
 
 # F5 — MIME detection: magic-byte sniff first, extension fallback, then

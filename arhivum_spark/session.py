@@ -41,6 +41,40 @@ def _with_required_java_opts(caller_opts: str) -> str:
     return f"{_REQUIRED_JAVA_OPTS} {caller_opts}".strip()
 
 
+def apply_media_runtime_confs(spark: SparkSession) -> list[str]:
+    """Apply the load-bearing confs that ARE runtime-settable to an
+    externally-built session (the spark-submit path, where get_spark's
+    builder never runs), and report what cannot be set post-launch.
+
+    Returns a list of human-readable warnings for confs the caller must
+    pass via spark-submit --conf (currently the GCLocker JVM flags —
+    extraJavaOptions are fixed at JVM launch).
+    """
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(ARROW_BATCH_FOR_BINARY),
+    )
+    # vectored IO allocates whole-column-chunk heap buffers per reading
+    # task — an OOM on binary-heavy scans (BENCH.md cliff #4 notes).
+    # Hadoop confs read at scan time honor runtime updates through the
+    # context's hadoopConfiguration.
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "parquet.hadoop.vectored.io.enabled", "false"
+    )
+    warnings = []
+    for key in _JAVA_OPT_KEYS:
+        current = spark.conf.get(key, "") or ""
+        if "GCLockerRetryAllocationCount" not in current:
+            warnings.append(
+                f"{key} lacks '{_REQUIRED_JAVA_OPTS}' — pass it via "
+                "spark-submit --conf; without it, byte-heavy pandas-UDF "
+                "stages risk GCLocker allocation failures on G1 "
+                "(BENCH.md cliff #4)"
+            )
+    return warnings
+
+
 def get_spark(
     app_name: str = "arhivum_spark",
     cores: int | None = None,

@@ -31,20 +31,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for spark.sql queries."""
-    for name in TPCH_TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-
-
-def try_iceberg(spark: SparkSession, table: str) -> DataFrame | None:
-    """Read an Iceberg table if the runtime has the connector; else None.
-
-    On a production cluster the input is an Iceberg table of image+caption
-    pairs (BASELINE.json input_hint); this sandbox image lacks the Iceberg
-    runtime jars, so callers fall back to parquet checkpoints.
-    """
-    try:
-        return spark.read.format("iceberg").load(table)
-    except Exception:
-        return None
+# On a production cluster the input is an Iceberg table of image+caption
+# pairs (BASELINE.json input_hint) read via spark.read.format("iceberg");
+# this sandbox image lacks the Iceberg runtime jars, so every consumer
+# reads parquet through load_table and the stage store's parquet+manifest
+# checkpoints (sources/checkpoints.py) stand in for Iceberg snapshots.

@@ -1206,3 +1206,90 @@ def test_global_row_number_rejects_reserved_columns(spark):
     df = spark.createDataFrame([(1, 9)], "k long, _rn long")
     with pytest.raises(ValueError, match="_rn"):
         global_row_number(df, "k")
+
+
+# ---------------------------------------------------------------------------
+# codec / scalars / cli / session review fixes
+
+
+def test_parse_exif_trailer_magic_collision_in_value():
+    from arhivum_spark import codec
+
+    blob = b"pixels" + codec.encode_exif_trailer(
+        {"camera_model": "EXF0123", "iso": 200}
+    )
+    out = codec.parse_exif_trailer(blob)
+    # rfind lands INSIDE the value; the parser must back up to the real
+    # trailer instead of failing (nulling real metadata)
+    assert out == {"camera_model": "EXF0123", "iso": 200}
+
+
+def test_parse_exif_trailer_coincidental_magic_in_payload():
+    from arhivum_spark import codec
+
+    # trailer-less blob with a coincidental magic occurrence mid-payload
+    blob = b"aaaa" + codec.MAGIC_EXIF + b"\xff\xff\xff\xffgarbagetail"
+    assert codec.parse_exif_trailer(blob) is None
+
+
+def test_codec_header_rejects_non_image_magic():
+    import numpy as np
+
+    from arhivum_spark import codec
+
+    audio = codec.encode_audio(np.zeros(100, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="magic"):
+        codec.header(audio)
+    with pytest.raises(ValueError, match="magic"):
+        codec.header(b"garbage12345")
+
+
+def test_base_identifier_strips_only_trailing_segment(spark):
+    from arhivum_spark.functions.scalars import base_identifier
+
+    df = spark.createDataFrame(
+        [
+            ("com.example:api:core:1.0",),
+            ("com.example:api:client:2.0",),
+            ("name:1.0",),
+            ("noversion",),
+        ],
+        "ident string",
+    )
+    got = [
+        r["b"] for r in df.select(base_identifier("ident").alias("b")).collect()
+    ]
+    # 4-segment idents keep their 3rd segment (previously both collapsed
+    # to 'com.example:api' — spurious same-base duplicate candidates)
+    assert got == [
+        "com.example:api:core", "com.example:api:client", "name", "noversion"
+    ]
+
+
+def test_cli_rejects_object_store_stage_dir(spark, tmp_path):
+    from arhivum_spark import cli
+
+    with pytest.raises(SystemExit, match="stage-dir"):
+        cli.run(
+            [
+                "--input", str(tmp_path / "in"),
+                "--output", str(tmp_path / "out"),
+                "--stage-dir", "s3://bucket/stages/run1",
+            ],
+            spark=spark,
+        )
+
+
+def test_apply_media_runtime_confs(spark):
+    from arhivum_spark.session import (
+        ARROW_BATCH_FOR_BINARY,
+        apply_media_runtime_confs,
+    )
+
+    warnings = apply_media_runtime_confs(spark)
+    assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == str(
+        ARROW_BATCH_FOR_BINARY
+    )
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("parquet.hadoop.vectored.io.enabled") == "false"
+    assert isinstance(warnings, list)  # may be empty under the test session
