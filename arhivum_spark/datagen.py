@@ -26,6 +26,7 @@ Mirrors the reference's scenario-duplicates fixture
 from __future__ import annotations
 
 from collections.abc import Iterator
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -56,7 +57,11 @@ class GenParams:
     lossy_qstep_reenc: int = 8
 
 
+@functools.lru_cache(maxsize=None)
 def _bounds(p: GenParams) -> dict[str, tuple[int, int]]:
+    # cached: GenParams is frozen/hashable and build_row calls this up to
+    # twice per row (cohort_of + base_of) — ~10M redundant rebuilds at
+    # the 4.8M corpus otherwise
     n_base = int(p.n * BASE_FRAC)
     out = {"base": (0, n_base)}
     pos = n_base
@@ -294,7 +299,17 @@ def truth_clusters(p: GenParams) -> pd.DataFrame:
             parent[max(rx, ry)] = min(rx, ry)
 
     n_base = b["base"][1]
-    blacks = list(range(0, n_base, ALLBLACK_MOD))
+    # all-black rows: build_row applies the ALLBLACK_MOD rule to BASE
+    # *and* BASE_TAIL indices (the rounding remainder generates with
+    # base_pixels(i) too) — scanning only [0, n_base) omitted a planted
+    # black member whenever the tail happened to contain a multiple of
+    # 97 (n = 98, 195, 971, ... ; the bench sizes 600k/2.4M/4.8M divide
+    # the cohort fractions exactly, so their tails are empty and every
+    # recorded recall number is unaffected)
+    tail_lo, tail_hi = b["tail"]
+    blacks = list(range(0, n_base, ALLBLACK_MOD)) + [
+        j for j in range(tail_lo, tail_hi) if j % ALLBLACK_MOD == 0
+    ]
     for j in blacks[1:]:
         union(blacks[0], j)
     for name in ("exact", "reenc", "perturb"):

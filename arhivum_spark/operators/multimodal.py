@@ -112,6 +112,33 @@ def extract_exif(
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, exif {EXIF_STRUCT_SCHEMA}"
 
+    # strict per-field coercions: the trailer is parsed from untrusted
+    # bytes, so a field can carry ANY python type — a mismatch must fail
+    # THIS row (null struct, inside the try below), never the whole
+    # stage at the batch's pandas->Arrow conversion, and never silently
+    # truncate (int(3.5) -> 3). bool is excluded from the numeric types
+    # (isinstance(True, int) is True in Python).
+    def _i(v):
+        if v is None:
+            return None
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise TypeError(f"expected int, got {type(v).__name__}")
+        return v
+
+    def _f(v):
+        if v is None:
+            return None
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise TypeError(f"expected float, got {type(v).__name__}")
+        return float(v)
+
+    def _s(v):
+        if v is None:
+            return None
+        if not isinstance(v, str):
+            raise TypeError(f"expected str, got {type(v).__name__}")
+        return v
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, structs = [], []
@@ -129,35 +156,38 @@ def extract_exif(
                         structs.append(None)
                         continue
                     lat, lon, alt = (
-                        t.get("gps_lat"), t.get("gps_lon"), t.get("gps_alt")
+                        _f(t.get("gps_lat")),
+                        _f(t.get("gps_lon")),
+                        _f(t.get("gps_alt")),
                     )
                     gps = (
                         None
                         if lat is None and lon is None and alt is None
                         else {"latitude": lat, "longitude": lon, "altitude": alt}
                     )
-                    flash_raw = t.get("flash_raw")
-                    dt = t.get("datetime_original")
+                    flash_raw = _i(t.get("flash_raw"))
+                    dt = _i(t.get("datetime_original"))
                     structs.append(
                         {
-                            "camera_make": t.get("camera_make"),
-                            "camera_model": t.get("camera_model"),
+                            "camera_make": _s(t.get("camera_make")),
+                            "camera_model": _s(t.get("camera_model")),
                             "datetime_original": (
                                 None
                                 if dt is None
                                 else datetime.fromtimestamp(
-                                    int(dt), tz=timezone.utc
+                                    dt, tz=timezone.utc
                                 ).strftime("%Y-%m-%d %H:%M:%S")
                             ),
-                            "width": t.get("width"),
-                            "height": t.get("height"),
-                            "orientation": t.get("orientation"),
+                            "width": _i(t.get("width")),
+                            "height": _i(t.get("height")),
+                            "orientation": _i(t.get("orientation")),
                             "gps": gps,
-                            "lens_model": t.get("lens_model"),
-                            "focal_length": t.get("focal_length"),
-                            "aperture": t.get("aperture"),
-                            "shutter_speed": t.get("shutter_speed"),
-                            "iso": t.get("iso"),
+                            "lens_model": _s(t.get("lens_model")),
+                            "focal_length": _f(t.get("focal_length")),
+                            "aperture": _f(t.get("aperture")),
+                            # a string in the schema ("1/8") — not _f
+                            "shutter_speed": _s(t.get("shutter_speed")),
+                            "iso": _i(t.get("iso")),
                             "flash": (
                                 None
                                 if flash_raw is None
@@ -174,14 +204,20 @@ def extract_exif(
 
 def resize_images(
     df: DataFrame, out_hw: int, bytes_col: str = "bytes",
-    id_col: str = "image_id",
+    id_col: str = "image_id", on_error: str = "raise",
 ) -> DataFrame:
     """Nearest-neighbor resize to (out_hw, out_hw), re-encoded lossless.
 
     Arrow-batched; output rows carry new bytes + dims. The interpolation
     kernel is numpy index arithmetic (vectorized); a production swap-in
     uses PIL's resampling inside the same UDF.
+
+    ``on_error="skip"`` drops undecodable/null-bytes rows instead of
+    failing the stage (the module's continue-past-errors contract, same
+    flag shape as audio_frame_energy); the default raises.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, bytes binary, w int, h int"
 
@@ -189,7 +225,12 @@ def resize_images(
         for pdf in batches:
             out = []
             for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
-                px = _decode_any(bytes(raw), "")
+                try:
+                    px = _decode_any(bytes(raw), "")
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 h, w, _ = px.shape
                 yi = (np.arange(out_hw) * h // out_hw).clip(0, h - 1)
                 xi = (np.arange(out_hw) * w // out_hw).clip(0, w - 1)
@@ -202,7 +243,7 @@ def resize_images(
 
 def sample_frames(
     df: DataFrame, n_frames: int = 4, bytes_col: str = "bytes",
-    id_col: str = "video_id",
+    id_col: str = "video_id", on_error: str = "raise",
 ) -> DataFrame:
     """Frame sampling for video columns — one output row per sampled frame.
 
@@ -210,7 +251,13 @@ def sample_frames(
     (deterministic fake standing in for container parsing; pyav swap-in
     point). Emits (id, frame_index, frame_bytes) — the UDTF shape
     (one-to-many mapInPandas) a real video pipeline needs.
+
+    ``on_error="skip"`` emits zero frames for undecodable/null-bytes
+    clips instead of failing the stage (continue-past-errors, same flag
+    shape as audio_frame_energy); the default raises.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, frame_index int, frame_bytes binary"
 
@@ -218,7 +265,12 @@ def sample_frames(
         for pdf in batches:
             out = []
             for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
-                px = _decode_any(bytes(raw), "")
+                try:
+                    px = _decode_any(bytes(raw), "")
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 h = px.shape[0]
                 frame_h = max(1, h // n_frames)
                 for fi in range(min(n_frames, h // frame_h)):

@@ -40,10 +40,6 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
 
 
-def _force(df) -> int:
-    """Fully execute a plan without collecting results to the driver."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
-
 
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))

@@ -1293,3 +1293,73 @@ def test_apply_media_runtime_confs(spark):
     hc = spark.sparkContext._jsc.hadoopConfiguration()
     assert hc.get("parquet.hadoop.vectored.io.enabled") == "false"
     assert isinstance(warnings, list)  # may be empty under the test session
+
+
+# ---------------------------------------------------------------------------
+# datagen truth / multimodal robustness review fixes
+
+
+def test_truth_clusters_include_tail_blacks():
+    from arhivum_spark import datagen
+
+    p = datagen.GenParams(n=98, img_hw=16)
+    # row 97 is in the rounding tail AND a multiple of ALLBLACK_MOD:
+    # build_row generates it all-black, so truth must cluster it
+    assert datagen.cohort_of(97, p) == "base_tail"
+    row = datagen.build_row(97, p)
+    import numpy as np
+
+    from arhivum_spark import codec
+
+    px = codec.decode(bytes(row["bytes"]))
+    assert (np.asarray(px) == 0).all()
+    truth = datagen.truth_clusters(p)
+    by_id = dict(zip(truth["image_id"], truth["cluster_id"]))
+    assert by_id.get("img-0000000097") == by_id.get("img-0000000000")
+
+
+def test_extract_exif_nulls_type_mismatched_fields(spark):
+    from arhivum_spark import codec
+    from arhivum_spark.operators.multimodal import extract_exif
+
+    good = codec.encode_exif_trailer({"iso": 100})
+    bad_w = codec.encode_exif_trailer({"width": "x"})      # str into int
+    bad_f = codec.encode_exif_trailer({"width": 3.5})      # would truncate
+    bad_s = codec.encode_exif_trailer({"camera_make": 5})  # int into str
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(b"xx" + good)),
+            ("b", bytearray(b"xx" + bad_w)),
+            ("c", bytearray(b"xx" + bad_f)),
+            ("d", bytearray(b"xx" + bad_s)),
+        ],
+        "image_id string, bytes binary",
+    )
+    out = {r["image_id"]: r["exif"] for r in extract_exif(df).collect()}
+    assert out["a"] is not None and out["a"]["iso"] == 100
+    # type mismatches null THIS row — no stage-level ArrowInvalid, no
+    # silent 3.5 -> 3 truncation
+    assert out["b"] is None and out["c"] is None and out["d"] is None
+
+
+def test_frame_and_resize_ops_skip_undecodable(spark):
+    from arhivum_spark import codec
+    from arhivum_spark.operators.multimodal import resize_images, sample_frames
+
+    import numpy as np
+
+    ok = codec.encode_lossless(
+        np.zeros((8, 8, 3), dtype=np.uint8)
+    )
+    df = spark.createDataFrame(
+        [("a", bytearray(ok)), ("b", bytearray(b"junkjunkjunk"))],
+        "video_id string, bytes binary",
+    )
+    frames = sample_frames(df, n_frames=2, on_error="skip").collect()
+    assert {r["video_id"] for r in frames} == {"a"}
+    df2 = df.withColumnRenamed("video_id", "image_id")
+    rows = resize_images(df2, 4, on_error="skip").collect()
+    assert [r["image_id"] for r in rows] == ["a"]
+    # default still fails loudly
+    with pytest.raises(Exception):
+        sample_frames(df, n_frames=2).collect()
