@@ -92,6 +92,24 @@ def caption_recall(spark, images, p, workdir: str) -> dict:
         )
 
     truth = datagen.truth_caption_pairs(p)
+    # input-consistency guards (mirror the dup gate's "pipeline lost
+    # truth rows" assert): a corpus generated for a different N — or one
+    # too small to have a caption cohort — must fail with a cause, not a
+    # bare KeyError deep in the coverage loop (after the multi-minute
+    # signature scan) or a ZeroDivisionError
+    if len(truth) == 0:
+        raise SystemExit(
+            f"caption truth is EMPTY at n={p.n} (caption cohort rounds to "
+            "zero rows) — raise SPARK_GRAFT_RECALL_N"
+        )
+    truth_ids = set(truth["image_id_a"]) | set(truth["image_id_b"])
+    missing_ids = truth_ids - set(id_rep)
+    if missing_ids:
+        raise SystemExit(
+            f"{len(missing_ids)} truth ids absent from the input corpus "
+            f"(e.g. {sorted(missing_ids)[:3]}) — SPARK_GRAFT_RECALL_INPUT "
+            f"does not match the truth generated for n={p.n}"
+        )
     n_missing = sum(
         0 if covered(a, b) else 1
         for a, b in zip(truth["image_id_a"], truth["image_id_b"])

@@ -87,9 +87,9 @@ def run_job_full(stage_root: str) -> dict:
     bit_xor checksums so 'identical output' is value-level, not just
     row-count-level. Used in-process for the reference/resume phases and
     as the child for every kill point (the child must attempt ALL stages
-    so a kill can land in any of them, including s5 whose write path is
-    materialize_first=True — a different commit sequence than the
-    pure-JVM stages)."""
+    so a kill can land in any of them; s1 and s3b cover the
+    materialize_first=True persist+count commit sequence, s2-s5 the
+    pure-JVM direct-write path)."""
     from pyspark.sql import functions as F
 
     from arhivum_spark.config import DedupConfig
@@ -141,12 +141,14 @@ def killed_run(
         delay = KILL_DELAY_AFTER_S2
     env = dict(os.environ)
     env.setdefault("SPARK_LOCAL_DIRS", os.path.join(WORKDIR, "spark_local"))
+    errlog = os.path.join(stage_root, "_child_stderr.log")
+    os.makedirs(stage_root, exist_ok=True)
     child = subprocess.Popen(
         [sys.executable, __file__, child_mode, stage_root],
         env=env,
         start_new_session=True,  # own process group -> killpg reaps the JVM
         stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
+        stderr=open(errlog, "w"),
     )
     t0 = time.time()
     trig_at = t0 if trigger_stage is None else None
@@ -165,8 +167,22 @@ def killed_run(
             raise RuntimeError(
                 f"child never reached {trigger_stage} in 30 min"
             )
-        time.sleep(0.5)
+        time.sleep(0.2)  # fine-grained: sub-second kill delays must land
     if completed:
+        # distinguish "job too fast for the kill window" (rc 0) from a
+        # CRASHED child — the old message sent operators tuning timing
+        # when the job had actually died at startup, with stderr gone
+        tail = ""
+        try:
+            with open(errlog) as f:
+                tail = f.read()[-2000:]
+        except OSError:
+            pass
+        if child.returncode != 0:
+            raise RuntimeError(
+                f"child CRASHED (rc={child.returncode}) before the kill "
+                f"fired (trigger={trigger_stage}); stderr tail:\n{tail}"
+            )
         raise RuntimeError(
             f"child finished before the kill fired (trigger="
             f"{trigger_stage}, delay={delay}) — raise SPARK_GRAFT_RESUME_N "
@@ -188,8 +204,9 @@ def killed_run(
 def matrix_main() -> None:
     """Kill/resume at EVERY stage boundary (round-5 VERDICT task 4): one
     reference run, then one kill point inside each stage — s1 (no commit
-    yet), s2..s4 (pure-JVM write path), s3b (pandas-UDF stage), s5
-    (materialize_first=True write path) — each followed by a resume that
+    yet; materialize_first commit path), s2..s5 (pure-JVM write path),
+    s3b (pandas-UDF stage, materialize_first) — each followed by a
+    resume that
     must reproduce the reference's value-level checksums and reuse every
     stage committed at kill verbatim (manifest timestamps unchanged).
     Prints one JSON line."""
@@ -213,8 +230,21 @@ def matrix_main() -> None:
     all_ok = True
     for kill_in, trigger, d in points:
         root = os.path.join(WORKDIR, f"resume_matrix_{kill_in}")
-        shutil.rmtree(root, ignore_errors=True)
-        kill = killed_run(root, trigger, d, child_mode="--child-full")
+        # self-correcting kill timing: a stage faster than the
+        # post-trigger delay means the kill lands AFTER its commit and
+        # the point tests nothing (enforced below) — retry with the
+        # delay cut to a third, up to twice, instead of depending on a
+        # hand-tuned constant per machine speed
+        attempt_delay = d
+        for _attempt in range(3):
+            shutil.rmtree(root, ignore_errors=True)
+            kill = killed_run(
+                root, trigger, attempt_delay, child_mode="--child-full"
+            )
+            expected_try = sorted(STAGES[: STAGES.index(kill_in)])
+            if kill["committed_at_kill"] == expected_try or _attempt == 2:
+                break
+            attempt_delay = max(0.3, attempt_delay / 3)
         resumed = run_job_full(root)
         after = _manifest(root)["stages"]
         reused = sorted(
@@ -223,8 +253,15 @@ def matrix_main() -> None:
             if after.get(s, {}).get("committed_at")
             == kill["committed_ts"][s]
         )
+        # the kill must have landed BEFORE the target stage's commit —
+        # committed_at_kill must be exactly the preceding stages, or the
+        # point silently tested nothing (e.g. a fast s2 completing
+        # inside the post-trigger delay)
+        expected = sorted(STAGES[: STAGES.index(kill_in)])
+        landed_ok = kill["committed_at_kill"] == expected
         ok = (
-            resumed["clusters"] == full["clusters"]
+            landed_ok
+            and resumed["clusters"] == full["clusters"]
             and resumed["cluster_xor"] == full["cluster_xor"]
             and resumed["rows"] == full["rows"]
             and resumed["caption_rows"] == full["caption_rows"]
@@ -236,13 +273,24 @@ def matrix_main() -> None:
             {
                 "kill_in": kill_in,
                 "committed_at_kill": kill["committed_at_kill"],
+                "kill_landed_before_target_commit": landed_ok,
                 "killed_after_sec": kill["killed_after_sec"],
                 "resume_wall_sec": resumed["wall_sec"],
                 "stages_reused_verbatim": reused,
                 "matches_reference": ok,
             }
         )
-        shutil.rmtree(root, ignore_errors=True)
+        if ok:
+            shutil.rmtree(root, ignore_errors=True)
+        else:
+            # keep the stage root: manifest timestamps + committed
+            # parquet are the only evidence for debugging a failed
+            # resume — deleting them forces a full matrix re-run under
+            # instrumentation
+            print(
+                f"kill point {kill_in} FAILED — stage root kept at {root}",
+                file=sys.stderr,
+            )
     print(
         json.dumps(
             {
